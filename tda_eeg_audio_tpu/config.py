@@ -1,0 +1,108 @@
+"""Single typed configuration for the whole framework.
+
+The reference scatters its knobs across modules (duplicated FREQ_BANDS etc. in
+reference scripts/utils.py:24-40, scripts/tda_eeg_classification_v2.py:63-83,
+scripts/tda_eeg_audio_comparison.py:37-41, notebooks/1_preprocesamiento.ipynb
+cell 1).  Here every reference knob lives in one frozen dataclass so device
+programs can treat them as static compile-time constants.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Literal, Mapping
+
+# ── Frequency bands (Hz) — reference scripts/utils.py:30-36 ──
+FREQ_BANDS: Mapping[str, tuple[float, float]] = {
+    "delta": (0.5, 4.0),
+    "theta": (4.0, 8.0),
+    "alpha": (8.0, 13.0),
+    "beta": (13.0, 30.0),
+    "gamma": (30.0, 50.0),
+}
+BAND_NAMES: tuple[str, ...] = tuple(FREQ_BANDS)
+
+# ── Electrode selection — reference notebooks/1_preprocesamiento.ipynb cell 1 ──
+GOOD_ELECTRODES_MATLAB: tuple[int, ...] = (
+    2, 3, 4, 6, 7, 9, 11, 12, 13, 14, 15, 16, 18, 19, 20, 21, 22, 24, 25, 26,
+    27, 28, 30, 31, 33, 34, 36, 38, 40, 41, 42, 44, 45, 46, 48, 49, 50, 51,
+    52, 53, 54, 56, 57, 58, 59, 60, 65,
+)
+GOOD_ELECTRODES: tuple[int, ...] = tuple(x - 1 for x in GOOD_ELECTRODES_MATLAB)
+N_ELECTRODES: int = len(GOOD_ELECTRODES)  # 47
+
+# Feature names within a diagram, in reference emission order
+# (reference scripts/utils.py:144-177).
+DIAGRAM_FEATURES: tuple[str, ...] = (
+    "n_features", "n_essential", "mean_birth", "std_birth", "mean_death",
+    "std_death", "mean_persistence", "std_persistence", "max_persistence",
+    "total_persistence", "persistence_entropy",
+)
+
+
+@dataclasses.dataclass(frozen=True)
+class PipelineConfig:
+    """All knobs of the study pipeline (defaults == reference values)."""
+
+    # Sampling — reference scripts/utils.py:39-40
+    fs_eeg: int = 250
+    fs_audio: int = 44100
+
+    # Windowing — reference notebooks/1_preprocesamiento.ipynb cell 1;
+    # scripts/tda_eeg_audio_comparison.py:37-38
+    window_sec: float = 1.0
+    overlap: float = 0.75
+
+    # Filtering — reference notebooks cell 1 (FILTER_ORDER=4, Butterworth)
+    filter_order: int = 4
+    # "fir": linear-phase FIR matched to the zero-phase Butterworth magnitude
+    #        response (|H|^2 of the order-4 Butterworth) — the TPU-native path.
+    # "iir_scan": exact Butterworth filtfilt via associative scan (parity path).
+    filter_impl: Literal["fir", "iir_scan"] = "fir"
+    fir_numtaps: int = 1537  # odd; long enough for the delta-band transition
+
+    # TDA — reference scripts/utils.py:24-27
+    max_dim: int = 1
+    max_edge_length: float = 2.0
+    takens_dim: int = 3
+    takens_subsample: int = 2
+
+    # Correlation→distance — reference notebooks/2_graph_construction.ipynb cell 4
+    distance_method: Literal["euclidean", "abs", "standard", "sqrt"] = "euclidean"
+
+    # Classification feature extraction —
+    # reference scripts/tda_eeg_classification_v2.py:73-83
+    n_splits: int = 5
+    n_permutations: int = 1000
+    n_bootstrap: int = 1000
+    random_state: int = 42
+    equalize_windows: bool = True
+    window_sampling: Literal["random", "first"] = "random"
+    max_windows_per_band: int | str = "min"
+    window_sample_seed: int = 42
+
+    # EEG↔audio comparison — reference scripts/tda_eeg_audio_comparison.py:37-41
+    max_windows: int = 15
+    alpha: float = 0.05
+
+    # TPU execution
+    homology_backend: Literal["device", "host"] = "device"
+    wasserstein_backend: Literal["auction", "sinkhorn", "host"] = "auction"
+    compute_dtype: str = "float32"
+
+    @property
+    def win_samples(self) -> int:
+        return int(self.window_sec * self.fs_eeg)  # 250
+
+    @property
+    def step_samples(self) -> int:
+        return int(self.win_samples * (1.0 - self.overlap))  # 62
+
+    @property
+    def max_takens_points(self) -> int:
+        # tau >= 1 → n = win - (dim-1)*tau points, then stride-subsample.
+        n = self.win_samples - (self.takens_dim - 1) * 1
+        return -(-n // self.takens_subsample)  # 124
+
+
+DEFAULT_CONFIG = PipelineConfig()
