@@ -1,0 +1,191 @@
+"""Slow-vs-fast classification stage (host): RF + group CV + permutation +
+bootstrap, consuming device-computed TDA features.
+
+The Random Forest is deliberately kept on the host (SURVEY §2.2: "RF is not
+TPU-shaped") with the reference's exact estimator settings and RNG seeds so
+classification metrics are reproducible:
+  * Pipeline(StandardScaler, RandomForest(100, depth 10, min_split 5,
+    min_leaf 2, seed 42)) — reference scripts/tda_eeg_classification_v2.py:821-831
+  * StratifiedGroupKFold(5, shuffle, seed 42) — :794-800
+  * subject-level label permutation with np.random.RandomState —
+    reference scripts/utils.py:198-215
+  * subject-level bootstrap CI with np.random.default_rng —
+    reference scripts/tda_eeg_classification_v2.py:1010-1043
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+
+from ..config import PipelineConfig, DEFAULT_CONFIG, FREQ_BANDS, DIAGRAM_FEATURES
+
+BAND_NAMES = list(FREQ_BANDS)
+
+
+def feature_names_220() -> list[str]:
+    """The exact 220-name schema (reference features/feature_names.txt)."""
+    names = []
+    for band in BAND_NAMES:
+        for feat in DIAGRAM_FEATURES:
+            for dim in ("h0", "h1"):
+                for agg in ("mean", "std"):
+                    names.append(f"{band}_{dim}_{feat}_{agg}")
+    return names
+
+
+def features_to_row(agg: np.ndarray) -> np.ndarray:
+    """(5, 2, 11, 2) device aggregate → 220-vector in reference name order.
+
+    Reference order iterates feat-major, h0/h1 interleaved, mean/std innermost
+    (scripts/tda_eeg_classification_v2.py:429-436 emission order).
+    """
+    # agg axes: band, dim(h0/h1), feature, (mean,std)
+    return agg.transpose(0, 2, 1, 3).reshape(-1)
+
+
+def window_sample_indices(filename_stem: str, band: str, n_windows: int,
+                          max_n: int, sampling: str = "random",
+                          seed: int = 42) -> np.ndarray:
+    """The reference's deterministic md5-seeded window subsample
+    (scripts/tda_eeg_classification_v2.py:394-400): reproducible across
+    shards given the same file name, band and seed."""
+    max_n = min(max_n, n_windows)
+    if sampling == "random":
+        s = f"{filename_stem}-{band}-{seed}"
+        rng_seed = int(hashlib.md5(s.encode()).hexdigest()[:8], 16)
+        rng = np.random.default_rng(rng_seed)
+        return rng.choice(n_windows, size=max_n, replace=False)
+    return np.arange(max_n)
+
+
+def permute_labels_by_subject(y: np.ndarray, subjects: np.ndarray, rng) -> np.ndarray:
+    """Subject-level label permutation (reference scripts/utils.py:198-215)."""
+    unique_subjects = np.unique(subjects)
+    subject_labels = np.array([y[subjects == s][0] for s in unique_subjects])
+    perm = rng.permutation(subject_labels)
+    y_perm = np.zeros_like(y)
+    for s, lab in zip(unique_subjects, perm):
+        y_perm[subjects == s] = lab
+    return y_perm
+
+
+def make_pipeline(random_state: int = 42):
+    from sklearn.ensemble import RandomForestClassifier
+    from sklearn.pipeline import Pipeline
+    from sklearn.preprocessing import StandardScaler
+
+    return Pipeline([
+        ("scaler", StandardScaler()),
+        ("classifier", RandomForestClassifier(
+            n_estimators=100, max_depth=10, min_samples_split=5,
+            min_samples_leaf=2, random_state=random_state, n_jobs=-1)),
+    ])
+
+
+def run_classification(X: np.ndarray, y: np.ndarray, subjects: np.ndarray,
+                       feature_names: list[str],
+                       cfg: PipelineConfig = DEFAULT_CONFIG,
+                       n_permutations: int | None = None,
+                       n_bootstrap: int | None = None,
+                       verbose: bool = True) -> dict:
+    """Full classification analysis → results_summary-schema dict
+    (reference classification_rerun.py end-to-end)."""
+    from sklearn.model_selection import (
+        StratifiedGroupKFold, GroupKFold, cross_val_score, cross_val_predict)
+    from sklearn.metrics import confusion_matrix, roc_auc_score, f1_score
+
+    n_perm = cfg.n_permutations if n_permutations is None else n_permutations
+    n_boot = (2000 if n_bootstrap is None else n_bootstrap)
+
+    # NaN/Inf row removal (reference tda_eeg_classification_v2.py:698-713)
+    valid = ~(np.isnan(X).any(1) | np.isinf(X).any(1))
+    X, y, subjects = X[valid], y[valid], subjects[valid]
+
+    try:
+        gkf = StratifiedGroupKFold(n_splits=cfg.n_splits, shuffle=True,
+                                   random_state=cfg.random_state)
+        cv_name = "StratifiedGroupKFold"
+    except Exception:
+        gkf = GroupKFold(n_splits=cfg.n_splits)
+        cv_name = "GroupKFold"
+
+    # subject-leakage audit (reference :803-816)
+    leakage = 0
+    for tr, te in gkf.split(X, y, groups=subjects):
+        leakage += len(set(subjects[tr]) & set(subjects[te]))
+    assert leakage == 0, "subject leakage across folds"
+
+    pipe = make_pipeline(cfg.random_state)
+    cv_scores = cross_val_score(pipe, X, y, groups=subjects, cv=gkf,
+                                scoring="accuracy")
+    y_pred = cross_val_predict(pipe, X, y, groups=subjects, cv=gkf)
+    f1 = f1_score(y, y_pred, average="weighted")
+    y_proba = cross_val_predict(pipe, X, y, groups=subjects, cv=gkf,
+                                method="predict_proba")
+    auc = roc_auc_score(y, y_proba[:, 1])
+    cm = confusion_matrix(y, y_pred)
+
+    # feature importances (reference :886-948)
+    pipe.fit(X, y)
+    importances = pipe.named_steps["classifier"].feature_importances_
+    band_imp: dict[str, float] = {}
+    for name, imp in zip(feature_names, importances):
+        band = name.split("_")[0]
+        band_imp[band] = band_imp.get(band, 0.0) + float(imp)
+
+    # permutation test (reference :953-978)
+    observed = cv_scores.mean()
+    rng = np.random.RandomState(cfg.random_state)
+    null = np.empty(n_perm)
+    for i in range(n_perm):
+        y_p = permute_labels_by_subject(y, subjects, rng)
+        null[i] = cross_val_score(pipe, X, y_p, groups=subjects, cv=gkf,
+                                  scoring="accuracy").mean()
+        if verbose and (i + 1) % max(n_perm // 10, 1) == 0:
+            print(f"  permutation {i + 1}/{n_perm}")
+    p_value = (np.sum(null >= observed) + 1) / (n_perm + 1)
+    effect = (observed - null.mean()) / (null.std() + 1e-30)
+
+    # subject-level bootstrap CI (reference :1010-1043)
+    boot_rng = np.random.default_rng(cfg.random_state)
+    subj = np.unique(subjects)
+    subj_acc = np.array([(y_pred[subjects == s] == y[subjects == s]).mean()
+                         for s in subj])
+    boots = np.array([subj_acc[boot_rng.choice(len(subj), len(subj))].mean()
+                      for _ in range(n_boot)])
+    ci_lo, ci_hi = np.percentile(boots, [2.5, 97.5])
+
+    top = np.argsort(importances)[::-1][:20]
+    return {
+        "cv_accuracy_mean": float(cv_scores.mean()),
+        "cv_accuracy_std": float(cv_scores.std()),
+        "cv_scores_per_fold": cv_scores.tolist(),
+        "f1_score": float(f1),
+        "roc_auc": float(auc),
+        "p_value": float(p_value),
+        "effect_size_cohens_d": float(effect),
+        "ci_lower_bootstrap": float(ci_lo),
+        "ci_upper_bootstrap": float(ci_hi),
+        "ci_method": f"subject-level bootstrap ({n_boot} iterations)",
+        "confusion_matrix": cm.tolist(),
+        "slow_accuracy_pct": float(cm[0, 0] / max(cm[0].sum(), 1) * 100),
+        "fast_accuracy_pct": float(cm[1, 1] / max(cm[1].sum(), 1) * 100),
+        "n_samples": int(len(y)),
+        "n_features": int(X.shape[1]),
+        "n_subjects": int(len(subj)),
+        "n_slow": int(np.sum(y == 0)),
+        "n_fast": int(np.sum(y == 1)),
+        "model": "RandomForestClassifier",
+        "cv_method": cv_name,
+        "n_splits": cfg.n_splits,
+        "n_permutations": n_perm,
+        "band_importance": {
+            b: {"importance": v, "pct": v / max(sum(band_imp.values()), 1e-30) * 100}
+            for b, v in band_imp.items()},
+        "top_features": [
+            {"feature": feature_names[i], "importance": float(importances[i])}
+            for i in top],
+        "conclusion": "SIGNIFICANT" if p_value < 0.05 else "NOT SIGNIFICANT",
+    }

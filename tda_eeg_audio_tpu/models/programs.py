@@ -1,0 +1,211 @@
+"""Fused device programs for the two analysis branches — the framework's
+"models".  Each is a single jitted program over a batch of padded recordings;
+window-level work (filter → window → correlation → Rips → features) happens in
+one device computation with no host round-trips.
+
+Reference call stacks replaced (SURVEY §3):
+  * EEG branch: notebooks/1_preprocesamiento.ipynb (load→filter→window) +
+    notebooks/2_graph_construction.ipynb (corr→distance) +
+    scripts/tda_eeg_classification_v2.py:338-442 (diagrams→features).
+  * Audio branch: scripts/tda_eeg_audio_comparison.py:45-99 and
+    scripts/matched_vs_mismatched.py:35-63 (resample→envelope→band→window→
+    τ→Takens→diagrams).
+"""
+
+from __future__ import annotations
+
+import functools
+from functools import partial
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..config import PipelineConfig, DEFAULT_CONFIG, FREQ_BANDS
+from ..ops import signal as tsig
+from ..ops import geometry as tgeo
+from ..ops.homology_h1 import h1_diagrams
+from ..ops.features import diagram_features, aggregate_mean_std
+
+N_BANDS = len(FREQ_BANDS)
+
+
+# ─────────────────────────────────────────────────────────────────────────────
+# EEG branch
+# ─────────────────────────────────────────────────────────────────────────────
+
+
+@partial(jax.jit, static_argnames=("cfg", "n_win_max"))
+def eeg_distance_program(eeg: jnp.ndarray, n_samples: jnp.ndarray,
+                         cfg: PipelineConfig = DEFAULT_CONFIG,
+                         n_win_max: int = 89):
+    """(B, 47, T_pad) padded EEG → per-band windowed distance matrices.
+
+    Returns (dist (B, 5, n_win_max, 47, 47), corr, wmask (B, n_win_max)).
+    Windows are the reference's 1 s / 75 % sliding windows; invalid windows
+    (beyond each recording's true length) are masked.
+    """
+    bank = jnp.asarray(tsig.design_band_fir_bank(
+        cfg.fs_eeg, cfg.filter_order, cfg.fir_numtaps))
+    banded = tsig.bandpass_bank(eeg, bank)                    # (B, C, 5, T)
+    win, step = cfg.win_samples, cfg.step_samples
+    wins = tsig.sliding_windows(banded, n_win_max, win, step)  # (B, C, 5, W, win)
+    wins = jnp.transpose(wins, (0, 2, 3, 1, 4))               # (B, 5, W, C, win)
+    starts = jnp.arange(n_win_max) * step
+    wmask = (starts + win)[None, :] <= n_samples[:, None]     # (B, W)
+    corr = tgeo.correlation_matrix(wins)
+    dist = tgeo.correlation_to_distance(corr, cfg.distance_method)
+    return dist, corr, wmask
+
+
+@partial(jax.jit, static_argnames=("thresh", "na_max", "h1_max", "step_budget"))
+def window_tda_features(dm: jnp.ndarray, thresh: float = 2.0, na_max: int = 128,
+                        h1_max: int = 128, step_budget: int = 4096):
+    """(B, 47, 47) distance matrices → (B, 2, 11) H0/H1 features + diagrams.
+
+    Implements the reference per-window step: compute_persistence_diagram +
+    extract_persistence_features for H0 and H1
+    (reference scripts/tda_eeg_classification_v2.py:407-419).
+    """
+    n = dm.shape[-1]
+    out = h1_diagrams(dm, n=n, thresh=thresh, na_max=na_max, h1_max=h1_max,
+                      step_budget=step_budget)
+    # H0: finite deaths from the in-kernel MST; one essential class per
+    # component (EEG windows are connected at thresh → exactly 1)
+    n_comp = (n - out["n_tree"]).astype(jnp.int32)
+    f_h0 = diagram_features(jnp.zeros_like(out["h0_deaths"]), out["h0_deaths"],
+                            out["h0_mask"], n_comp)
+    fin = out["mask"] & jnp.isfinite(out["deaths"])
+    f_h1 = diagram_features(out["births"], jnp.where(fin, out["deaths"], 0.0),
+                            fin, out["n_essential"])
+    feats = jnp.stack([f_h0, f_h1], axis=1)                   # (B, 2, 11)
+    return feats, out
+
+
+def recording_features(dist: jnp.ndarray, use_idx: jnp.ndarray,
+                       use_mask: jnp.ndarray, thresh: float = 2.0,
+                       chunk: int = 256):
+    """Per-recording 220-dim feature rows from windowed distance matrices.
+
+    dist: (B, 5, W, 47, 47); use_idx/use_mask: (B, 5, K) selected window
+    indices per band (the reference's deterministic md5-seeded subsampling,
+    computed on host — scripts/tda_eeg_classification_v2.py:384-401).
+    Returns (B, 5, 2, 11, 2) [band, dim, feature, mean/std].
+    """
+    B, nb, W, n, _ = dist.shape
+    K = use_idx.shape[-1]
+    sel = jnp.take_along_axis(
+        dist, use_idx[:, :, :, None, None], axis=2)           # (B, 5, K, n, n)
+    flat = sel.reshape(B * nb * K, n, n)
+    outs = []
+    for c in range(0, flat.shape[0], chunk):
+        end = min(c + chunk, flat.shape[0])
+        blk = flat[c:end]
+        if blk.shape[0] < chunk:  # pad to compiled batch size
+            blk = jnp.concatenate(
+                [blk, jnp.tile(blk[-1:], (chunk - blk.shape[0], 1, 1))], axis=0)
+        f, _ = window_tda_features(blk, thresh=thresh)
+        outs.append(f[: end - c])
+    feats = jnp.concatenate(outs, axis=0).reshape(B, nb, K, 2, 11)
+    agg = aggregate_mean_std(
+        feats.reshape(B, nb, K, 22), use_mask.reshape(B, nb, K))
+    return agg.reshape(B, nb, 2, 11, 2)
+
+
+# ─────────────────────────────────────────────────────────────────────────────
+# Audio branch
+# ─────────────────────────────────────────────────────────────────────────────
+
+
+@partial(jax.jit, static_argnames=("cfg", "n_out_max", "n_win_max", "max_windows"))
+def audio_takens_program(audio: jnp.ndarray, n_samples: jnp.ndarray,
+                         cfg: PipelineConfig = DEFAULT_CONFIG,
+                         n_out_max: int = 5800, n_win_max: int = 90,
+                         max_windows: int = 15):
+    """(B, T_audio_pad) padded audio → per-band Takens distance matrices.
+
+    Pipeline (reference scripts/tda_eeg_audio_comparison.py:53-92):
+    resample 44.1 kHz → 250 Hz, Hilbert envelope, 5-band filter, 1 s windows,
+    even subsample to ≤ max_windows, τ from first window, Takens embedding,
+    min-max normalize, pairwise distances (padded points > thresh).
+
+    Returns dict with dm (B, 5, max_windows, P, P), point-valid counts,
+    window masks, and τ per band.
+    """
+    h, up, down = tsig.design_resample_poly_filter(cfg.fs_eeg, cfg.fs_audio)
+    a_rs, n_rs = tsig.resample_poly_device(audio, n_samples, n_out_max, h, up, down)
+    lp = jnp.asarray(tsig.design_envelope_lowpass(cfg.fs_eeg))
+    hb = jnp.asarray(tsig.design_hilbert_fir())
+    t_ids = jnp.arange(n_out_max)
+    env = tsig.hilbert_envelope(a_rs, lp, hb,
+                                mask=(t_ids[None, :] < n_rs[:, None]).astype(a_rs.dtype))
+    bank = jnp.asarray(tsig.design_band_fir_bank(
+        cfg.fs_eeg, cfg.filter_order, cfg.fir_numtaps))
+    env_b = tsig.bandpass_bank(env, bank)                     # (B, 5, T)
+    win, step = cfg.win_samples, cfg.step_samples
+    wins = tsig.sliding_windows(env_b, n_win_max, win, step)  # (B, 5, W, win)
+    starts = jnp.arange(n_win_max) * step
+    n_win = jnp.maximum((n_rs - win) // step + 1, 0)          # (B,)
+
+    # even subsample to ≤ max_windows: idx = linspace(0, n_win-1, max_windows)
+    # (reference tda_eeg_audio_comparison.py:77-80)
+    k = jnp.arange(max_windows, dtype=jnp.float32)
+    nw = jnp.maximum(n_win.astype(jnp.float32), 1.0)[:, None]
+    use_all = n_win[:, None] <= max_windows
+    idx_lin = (k[None, :] * (nw - 1.0) / (max_windows - 1)).astype(jnp.int32)
+    idx_seq = jnp.minimum(k.astype(jnp.int32)[None, :], n_win[:, None] - 1)
+    use_idx = jnp.where(use_all, idx_seq, idx_lin)            # (B, K)
+    use_idx = jnp.clip(use_idx, 0, n_win_max - 1)
+    kmask = k[None, :] < jnp.minimum(n_win, max_windows)[:, None]
+
+    sel = jnp.take_along_axis(wins, use_idx[:, None, :, None], axis=2)  # (B,5,K,win)
+
+    # τ from the first selected window (= window 0) per band
+    tau = tsig.autocorr_tau(sel[:, :, 0, :], win // 2)        # (B, 5)
+    P = cfg.max_takens_points
+    tau_b = jnp.broadcast_to(tau[:, :, None], sel.shape[:3])
+    pts, pmask = tsig.takens_embed(sel, tau_b, cfg.takens_dim,
+                                   cfg.takens_subsample, P)
+    ptsn = tsig.minmax_normalize_points(pts, pmask)
+    dm = tgeo.pairwise_distances(ptsn, pmask,
+                                 pad_value=cfg.max_edge_length + 1.0)
+    n_pts = jnp.sum(pmask, axis=-1)                           # (B, 5, K)
+    return dict(dm=dm, n_pts=n_pts, wmask=kmask, tau=tau, n_win=n_win,
+                envelope=env, n_rs=n_rs)
+
+
+@partial(jax.jit, static_argnames=("thresh", "na_max", "h1_max", "step_budget"))
+def audio_window_diagrams(dm: jnp.ndarray, n_pts: jnp.ndarray,
+                          thresh: float = 2.0, na_max: int = 96,
+                          h1_max: int = 96, step_budget: int = 8192):
+    """(B, P, P) Takens distance matrices → H0/H1 diagrams + features.
+
+    Windows with < 3 valid points get the reference's degenerate [[0, 0]]
+    sentinel diagrams (scripts/utils.py:125-126).
+    """
+    out = h1_diagrams(dm, n=dm.shape[-1], thresh=thresh, na_max=na_max,
+                      h1_max=h1_max, step_budget=step_budget)
+    degenerate = n_pts < 3
+    # H0: essential = components among valid points = n_pts − n_tree
+    n_comp = (n_pts - out["n_tree"]).astype(jnp.int32)
+    h0_deaths = out["h0_deaths"]
+    h0_mask = out["h0_mask"]
+    # degenerate → single (0,0) bar
+    h0_deaths = jnp.where(degenerate[:, None], 0.0, h0_deaths)
+    h0_mask = jnp.where(degenerate[:, None],
+                        jnp.arange(h0_deaths.shape[-1])[None, :] == 0, h0_mask)
+    n_comp = jnp.where(degenerate, 0, n_comp)
+    f_h0 = diagram_features(jnp.zeros_like(h0_deaths), h0_deaths, h0_mask, n_comp)
+
+    births = jnp.where(degenerate[:, None], 0.0, out["births"])
+    deaths = jnp.where(degenerate[:, None], 0.0, out["deaths"])
+    h1_mask = jnp.where(degenerate[:, None],
+                        jnp.arange(births.shape[-1])[None, :] == 0, out["mask"])
+    fin = h1_mask & jnp.isfinite(deaths)
+    n_ess1 = jnp.where(degenerate, 0, out["n_essential"])
+    f_h1 = diagram_features(births, jnp.where(fin, deaths, 0.0), fin, n_ess1)
+    return dict(
+        h0_deaths=h0_deaths, h0_mask=h0_mask, n_comp=n_comp,
+        births=births, deaths=deaths, h1_mask=h1_mask, fin_mask=fin,
+        features=jnp.stack([f_h0, f_h1], axis=1), overflow=out["overflow"],
+    )

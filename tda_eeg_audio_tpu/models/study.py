@@ -1,0 +1,568 @@
+"""The full-study driver: orchestrates the batched device programs into the
+reference's five analyses and emits artifacts with the reference's JSON/CSV
+schemas (SURVEY §6).
+
+Reference entry points replaced:
+  * features/classification — scripts/tda_eeg_classification_v2.py
+  * EEG↔audio comparison    — scripts/tda_eeg_audio_comparison.py
+  * matched-vs-mismatched   — scripts/matched_vs_mismatched.py
+
+Host work is limited to data loading, batching, the RF stage and JSON
+serialization; every window-level computation (filter → window → corr →
+Rips → features → Wasserstein → Wilcoxon/FDR) runs on device.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+from collections import defaultdict
+from pathlib import Path
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..config import PipelineConfig, DEFAULT_CONFIG, FREQ_BANDS, GOOD_ELECTRODES
+from . import programs, classify, homology_exec
+from ..ops.wasserstein import wasserstein_pairs
+from ..ops import stats as dstats
+
+BAND_NAMES = list(FREQ_BANDS)
+N_BANDS = len(BAND_NAMES)
+
+# Padded-shape constants for the study (max recording ≈ 23 s @ 250 Hz)
+T_EEG_PAD = 5800
+T_AUDIO_PAD = 44100 * 24
+N_WIN_MAX = (T_EEG_PAD - 250) // 62 + 1  # 90
+N_RS_MAX = 5900
+K_CMP = 15          # MAX_WINDOWS for comparisons
+K_H0_EEG = 64       # EEG H0 ≤ 46 finite bars
+K_H0_AUD = 128      # audio H0 ≤ 123
+K_H1 = 128          # H1 diagram padding both sides
+
+
+class StudyRunner:
+    """Runs the study over a dataset of recordings (real .mat or synthetic)."""
+
+    def __init__(self, dataset, cfg: PipelineConfig = DEFAULT_CONFIG,
+                 eeg_batch: int = 16, tda_chunk: int = 256,
+                 results_dir: str | Path | None = None, verbose: bool = True,
+                 backend: str | None = None):
+        self.ds = dataset
+        self.cfg = cfg
+        self.eeg_batch = eeg_batch
+        self.tda_chunk = tda_chunk
+        self.results_dir = Path(results_dir) if results_dir else None
+        self.verbose = verbose
+        if backend is None:
+            backend = cfg.homology_backend
+        self.backend = backend
+
+    # ---------------- data staging ----------------
+
+    def _load_batch(self, idxs):
+        eegs, audios, ns_e, ns_a, metas = [], [], [], [], []
+        for i in idxs:
+            rec = self.ds.load(i)
+            eeg = rec["eeg_raw"][list(GOOD_ELECTRODES)]
+            # derive fs_eeg from audio duration (reference notebook 1 cell 1)
+            n_e = eeg.shape[1]
+            e = np.zeros((len(GOOD_ELECTRODES), T_EEG_PAD), np.float32)
+            e[:, :n_e] = eeg[:, :T_EEG_PAD]
+            a = np.zeros(T_AUDIO_PAD, np.float32)
+            n_a = min(len(rec["audio"]), T_AUDIO_PAD)
+            a[:n_a] = rec["audio"][:n_a]
+            eegs.append(e); audios.append(a)
+            ns_e.append(min(n_e, T_EEG_PAD)); ns_a.append(n_a)
+            metas.append(dict(filename=rec["filename"], subject=rec["subject"],
+                              condition=rec["condition"]))
+        return (np.stack(eegs), np.stack(audios),
+                np.array(ns_e), np.array(ns_a), metas)
+
+    # ---------------- stage: EEG distance matrices (graphs/) ----------------
+
+    def eeg_distances(self, idxs):
+        """(len(idxs), 5, W, 47, 47) distance matrices + window masks."""
+        eeg, _, ns_e, _, metas = self._load_batch(idxs)
+        dist, corr, wmask = programs.eeg_distance_program(
+            jnp.asarray(eeg), jnp.asarray(ns_e), self.cfg, N_WIN_MAX)
+        return dist, wmask, metas
+
+    # ---------------- stage: classification features ----------------
+
+    def compute_feature_dataset(self, max_windows_per_band=None):
+        """X (N, 220), y, subjects, filenames — the features/ stage.
+
+        Implements equalize-windows "min" + md5 window sampling exactly
+        (reference scripts/tda_eeg_classification_v2.py:445-606).
+        """
+        cfg = self.cfg
+        # window counts per recording (same for all bands)
+        n_windows = []
+        for i in range(len(self.ds)):
+            fn, subj, cond = self.ds.index[i]
+            # number of complete 1 s / 75 % windows
+            rec_len = None
+            n_windows.append(None)
+        # cheap pass: derive window counts from stored lengths via loading
+        # metadata only — synthetic datasets know durations deterministically;
+        # generic path loads each recording once below anyway.
+        win, step = cfg.win_samples, cfg.step_samples
+
+        X_rows, y, subjects, filenames = [], [], [], []
+        order = np.argsort([f"{c}/{f}" for f, s, c in
+                            [self.ds.index[i] for i in range(len(self.ds))]])
+        # reference order: sorted slow dirs then fast dirs
+        slow_idx = sorted([i for i in range(len(self.ds))
+                           if self.ds.index[i][2] == "slow"],
+                          key=lambda i: self.ds.index[i][0])
+        fast_idx = sorted([i for i in range(len(self.ds))
+                           if self.ds.index[i][2] == "fast"],
+                          key=lambda i: self.ds.index[i][0])
+        all_idx = slow_idx + fast_idx
+
+        # pass 1: window counts (for "min" equalization)
+        counts = {}
+        for i in all_idx:
+            rec = self.ds.load(i)
+            n_e = min(rec["eeg_raw"].shape[1], T_EEG_PAD)
+            counts[i] = max((n_e - win) // step + 1, 0)
+        min_windows = min(c for c in counts.values() if c > 0)
+        if max_windows_per_band is None:
+            max_windows_per_band = (min_windows if cfg.equalize_windows
+                                    else None)
+        K = int(max_windows_per_band or max(counts.values()))
+
+        t0 = time.time()
+        for b0 in range(0, len(all_idx), self.eeg_batch):
+            idxs = all_idx[b0:b0 + self.eeg_batch]
+            dist, wmask, metas = self.eeg_distances(idxs)
+            B = len(idxs)
+            use_idx = np.zeros((B, N_BANDS, K), np.int32)
+            use_mask = np.zeros((B, N_BANDS, K), bool)
+            for bi_, i in enumerate(idxs):
+                stem = metas[bi_]["filename"].replace(".mat", "")
+                nw = counts[i]
+                for bd, band in enumerate(BAND_NAMES):
+                    take = min(K, nw)
+                    sel = classify.window_sample_indices(
+                        stem, band, nw, take, cfg.window_sampling,
+                        cfg.window_sample_seed)
+                    use_idx[bi_, bd, :len(sel)] = sel
+                    use_mask[bi_, bd, :len(sel)] = True
+            sel = jnp.take_along_axis(
+                dist, jnp.asarray(use_idx)[:, :, :, None, None], axis=2)
+            flat = np.array(sel).reshape(B * N_BANDS * K, 47, 47)
+            tda = homology_exec.run_tda(flat, cfg.max_edge_length,
+                                        self.backend, self.tda_chunk,
+                                        verbose=self.verbose)
+            feats = tda["features"].reshape(B, N_BANDS, K, 22)
+            from ..ops.features import aggregate_mean_std
+            agg = np.array(aggregate_mean_std(
+                jnp.asarray(feats), jnp.asarray(use_mask)))
+            agg = agg.reshape(B, N_BANDS, 2, 11, 2)
+            for bi_, i in enumerate(idxs):
+                X_rows.append(classify.features_to_row(agg[bi_]))
+                fn, subj, cond = self.ds.index[i]
+                y.append(0 if cond == "slow" else 1)
+                subjects.append(subj)
+                filenames.append(fn)
+            if self.verbose:
+                el = time.time() - t0
+                print(f"  features: {b0 + len(idxs)}/{len(all_idx)} "
+                      f"recordings ({el:.0f}s)")
+        return (np.stack(X_rows), np.array(y), np.array(subjects), filenames,
+                dict(min_windows=min_windows, K=K))
+
+    # ---------------- stage: audio + EEG diagrams for comparisons ----------------
+
+    def _comparison_diagrams(self, idxs):
+        """Per recording: EEG + audio diagrams on the ≤15 comparison windows."""
+        eeg, audio, ns_e, ns_a, metas = self._load_batch(idxs)
+        cfg = self.cfg
+        dist, _, wmask_e = programs.eeg_distance_program(
+            jnp.asarray(eeg), jnp.asarray(ns_e), cfg, N_WIN_MAX)
+        aud = programs.audio_takens_program(
+            jnp.asarray(audio), jnp.asarray(ns_a), cfg, N_RS_MAX, N_WIN_MAX,
+            K_CMP)
+        B = len(idxs)
+        n_win_e = np.array(jnp.sum(wmask_e, axis=-1))          # (B,)
+        n_win_a = np.array(aud["n_win"])
+        # paired window selection: n = min(eeg, audio); idx over that range
+        # (reference tda_eeg_audio_comparison.py:72-80) — NOTE the audio
+        # program subsampled over its own n_win; for parity n_win should match
+        # (same duration) — assert and reuse audio idx for EEG.
+        n_pair = np.minimum(n_win_e, n_win_a)
+        k = np.arange(K_CMP)
+        use_all = n_pair[:, None] <= K_CMP
+        idx_lin = (k[None, :] * (np.maximum(n_pair, 1)[:, None] - 1) /
+                   (K_CMP - 1)).astype(np.int32)
+        idx_seq = np.minimum(k[None, :], np.maximum(n_pair[:, None] - 1, 0))
+        use_idx = np.where(use_all, idx_seq, idx_lin).astype(np.int32)
+        kmask = k[None, :] < n_pair[:, None]
+
+        sel_dm = jnp.take_along_axis(
+            dist, jnp.asarray(use_idx)[:, None, :, None, None], axis=2)
+        eeg_dm = np.array(sel_dm).reshape(B * N_BANDS * K_CMP, 47, 47)
+        eeg_out = homology_exec.run_tda(eeg_dm, cfg.max_edge_length,
+                                        self.backend, self.tda_chunk,
+                                        verbose=self.verbose)
+        aud_dm = np.array(aud["dm"]).reshape(B * N_BANDS * K_CMP,
+                                             cfg.max_takens_points,
+                                             cfg.max_takens_points)
+        n_pts = np.array(aud["n_pts"]).reshape(-1)
+        aud_out = homology_exec.run_tda(
+            aud_dm, cfg.max_edge_length, self.backend,
+            max(self.tda_chunk // 8, 32), n_pts=n_pts,
+            step_budget=8192, verbose=self.verbose)
+        shape = (B, N_BANDS, K_CMP)
+        return dict(eeg=eeg_out, audio=aud_out, kmask=kmask, metas=metas,
+                    shape=shape, tau=np.array(aud["tau"]), n_pair=n_pair)
+
+
+    # ---------------- Wasserstein between EEG and audio diagrams ----------------
+
+    def _wasserstein_h0h1(self, eeg_out, aud_out, pair_mask):
+        """W_H0 and W_H1 for window-paired diagrams (flat arrays)."""
+        N = len(pair_mask)
+        # H0: EEG deaths (46,) all births 0; audio h0 deaths
+        e_b = np.zeros((N, K_H0_EEG), np.float32)
+        e_d = np.zeros((N, K_H0_EEG), np.float32)
+        e_m = np.zeros((N, K_H0_EEG), bool)
+        hd = eeg_out["h0_deaths"][:, :K_H0_EEG]
+        hm = eeg_out["h0_mask"][:, :K_H0_EEG]
+        e_d[:, :hd.shape[1]] = np.where(np.isfinite(hd), hd, 0.0)
+        e_m[:, :hd.shape[1]] = hm
+        a_b = np.zeros((N, K_H0_AUD), np.float32)
+        a_d = np.zeros((N, K_H0_AUD), np.float32)
+        a_m = np.zeros((N, K_H0_AUD), bool)
+        ad = aud_out["h0_deaths"][:, :K_H0_AUD]
+        am = aud_out["h0_mask"][:, :K_H0_AUD]
+        a_d[:, :ad.shape[1]] = np.where(np.isfinite(ad), ad, 0.0)
+        a_m[:, :ad.shape[1]] = am
+        w_h0 = self._wass_chunks(e_b, e_d, e_m, a_b, a_d, a_m)
+
+        # H1 (finite bars only — reference safe_wasserstein cleanup)
+        e1b = eeg_out["births"][:, :K_H1].astype(np.float32)
+        e1d = eeg_out["deaths"][:, :K_H1].astype(np.float32)
+        e1m = eeg_out["mask"][:, :K_H1] & np.isfinite(e1d)
+        e1d = np.where(e1m, e1d, 0.0)
+        a1b = aud_out["births"][:, :K_H1].astype(np.float32)
+        a1d = aud_out["deaths"][:, :K_H1].astype(np.float32)
+        a1m = aud_out["mask"][:, :K_H1] & np.isfinite(a1d)
+        a1d = np.where(a1m, a1d, 0.0)
+        pad1 = K_H1 - a1b.shape[1]
+        if pad1 > 0:
+            a1b = np.pad(a1b, ((0, 0), (0, pad1)))
+            a1d = np.pad(a1d, ((0, 0), (0, pad1)))
+            a1m = np.pad(a1m, ((0, 0), (0, pad1)))
+        w_h1 = self._wass_chunks(e1b, e1d, e1m, a1b, a1d, a1m)
+        w_h0[~pair_mask] = np.nan
+        w_h1[~pair_mask] = np.nan
+        return w_h0, w_h1
+
+    def _wass_chunks(self, b1, d1, m1, b2, d2, m2, chunk: int = 512):
+        out = np.zeros(len(b1), np.float32)
+        for c in range(0, len(b1), chunk):
+            e = min(c + chunk, len(b1))
+            pad = chunk - (e - c)
+            def pp(x):
+                x = x[c:e]
+                if pad:
+                    x = np.concatenate([x, np.tile(x[-1:], (pad, 1))])
+                return jnp.asarray(x)
+            dist, done = wasserstein_pairs(pp(b1), pp(d1), pp(m1),
+                                           pp(b2), pp(d2), pp(m2))
+            out[c:e] = np.array(dist)[: e - c]
+            if not bool(np.array(done).all()):
+                n_bad = int((~np.array(done)[: e - c]).sum())
+                if self.verbose and n_bad:
+                    print(f"  warning: {n_bad} auction non-convergences in chunk")
+        return out
+
+    # ---------------- analysis: EEG↔audio comparison ----------------
+
+    def run_comparison(self, n_permutations: int | None = None) -> dict:
+        """Hypothesis-2 analysis → eeg_audio_tda_comparison.json schema."""
+        cfg = self.cfg
+        n_perm = n_permutations or 1000
+        rows = []
+        t0 = time.time()
+        all_idx = list(range(len(self.ds)))
+        for b0 in range(0, len(all_idx), self.eeg_batch):
+            idxs = all_idx[b0:b0 + self.eeg_batch]
+            d = self._comparison_diagrams(idxs)
+            B, NB, K = d["shape"]
+            pair_mask = np.repeat(d["kmask"][:, None, :], NB, 1).reshape(-1)
+            w_h0, w_h1 = self._wasserstein_h0h1(d["eeg"], d["audio"], pair_mask)
+            w_h0 = w_h0.reshape(B, NB, K)
+            w_h1 = w_h1.reshape(B, NB, K)
+            # temporal feature correlations on 5 H1 features
+            # feature order: n_features, n_essential, mean_birth, std_birth,
+            # mean_death, std_death, mean_persistence, std_persistence,
+            # max_persistence, total_persistence, persistence_entropy
+            FEATS = {"mean_persistence": 6, "total_persistence": 9,
+                     "persistence_entropy": 10, "max_persistence": 8,
+                     "n_features": 0}
+            ef = d["eeg"]["features"].reshape(B, NB, K, 2, 11)[:, :, :, 1, :]
+            af = d["audio"]["features"].reshape(B, NB, K, 2, 11)[:, :, :, 1, :]
+            km = d["kmask"][:, None, :].repeat(NB, 1)
+            for bi_, meta in enumerate(d["metas"]):
+                for bd, band in enumerate(BAND_NAMES):
+                    n_valid = int(km[bi_, bd].sum())
+                    if n_valid == 0:
+                        continue
+                    row = dict(filename=meta["filename"],
+                               condition=meta["condition"],
+                               subject=meta["subject"], band=band,
+                               wasserstein_h0=float(np.nanmean(w_h0[bi_, bd])),
+                               wasserstein_h1=float(np.nanmean(w_h1[bi_, bd])),
+                               n_windows=n_valid,
+                               tau=int(d["tau"][bi_, bd]))
+                    for fname, fi in FEATS.items():
+                        a_ts = af[bi_, bd, :, fi]
+                        e_ts = ef[bi_, bd, :, fi]
+                        msk = km[bi_, bd]
+                        if (n_valid >= 5 and a_ts[msk].std() > 1e-10
+                                and e_ts[msk].std() > 1e-10):
+                            r, p = dstats.spearmanr(
+                                jnp.asarray(a_ts[None]), jnp.asarray(e_ts[None]),
+                                jnp.asarray(msk[None]))
+                            row[f"corr_{fname}_r"] = float(np.array(r)[0])
+                            row[f"corr_{fname}_p"] = float(np.array(p)[0])
+                        else:
+                            row[f"corr_{fname}_r"] = 0.0
+                            row[f"corr_{fname}_p"] = 1.0
+                    rows.append(row)
+            if self.verbose:
+                print(f"  comparison: {b0 + len(idxs)}/{len(all_idx)} "
+                      f"({time.time() - t0:.0f}s)")
+        return self._comparison_stats(rows, n_perm)
+
+    def _comparison_stats(self, rows, n_perm) -> dict:
+        """Band statistics — reference tda_eeg_audio_comparison.py:161-221."""
+        stats_out = {}
+        key = jax.random.key(42)
+        # subject×condition means per band
+        per = defaultdict(lambda: defaultdict(list))
+        for r in rows:
+            per[r["band"]][(r["subject"], r["condition"])].append(r)
+        pvals_h1 = []
+        for band in BAND_NAMES:
+            groups = per[band]
+            means = {}
+            for (subj, cond), rs in groups.items():
+                means[(subj, cond)] = dict(
+                    h0=np.mean([x["wasserstein_h0"] for x in rs]),
+                    h1=np.mean([x["wasserstein_h1"] for x in rs]),
+                    corr=np.mean([x["corr_mean_persistence_r"] for x in rs]),
+                )
+            subs = sorted({s for (s, c) in means if (s, "slow") in means
+                           and (s, "fast") in means})
+            n = len(subs)
+            bs = {"n_subjects": n, "band": band}
+            if n >= 5:
+                d0 = np.array([means[(s, "slow")]["h0"] - means[(s, "fast")]["h0"]
+                               for s in subs])
+                d1 = np.array([means[(s, "slow")]["h1"] - means[(s, "fast")]["h1"]
+                               for s in subs])
+                dc = np.array([means[(s, "slow")]["corr"] - means[(s, "fast")]["corr"]
+                               for s in subs])
+                ones = jnp.ones((1, n), bool)
+                _, p0 = dstats.wilcoxon(jnp.asarray(d0[None], jnp.float32), ones)
+                _, p1 = dstats.wilcoxon(jnp.asarray(d1[None], jnp.float32), ones)
+                _, pc = dstats.wilcoxon(jnp.asarray(dc[None], jnp.float32), ones)
+                key, sub = jax.random.split(key)
+                perm_p = dstats.sign_flip_pvalue(
+                    jnp.asarray(d1[None], jnp.float32), ones, sub, n_perm)
+                cohens = dstats.cohens_d_paired(
+                    jnp.asarray(d1[None], jnp.float32), ones)
+                bs.update({
+                    "wass_h0_slow": float(np.mean([means[(s, "slow")]["h0"] for s in subs])),
+                    "wass_h0_fast": float(np.mean([means[(s, "fast")]["h0"] for s in subs])),
+                    "wass_h0_p": float(np.array(p0)[0]),
+                    "wass_h1_slow": float(np.mean([means[(s, "slow")]["h1"] for s in subs])),
+                    "wass_h1_fast": float(np.mean([means[(s, "fast")]["h1"] for s in subs])),
+                    "wass_h1_p": float(np.array(p1)[0]),
+                    "wass_h1_perm_p": float(np.array(perm_p)[0]),
+                    "wass_h1_cohens_d": float(np.array(cohens)[0]),
+                    "wass_h1_direction": "slow < fast" if d1.mean() < 0 else "slow > fast",
+                    "corr_slow": float(np.mean([means[(s, "slow")]["corr"] for s in subs])),
+                    "corr_fast": float(np.mean([means[(s, "fast")]["corr"] for s in subs])),
+                    "corr_p": float(np.array(pc)[0]),
+                    "n_slow_lower": int(np.sum(d1 < 0)),
+                })
+            stats_out[band] = bs
+            pvals_h1.append(bs.get("wass_h1_p", 1.0))
+        reject, p_fdr = dstats.bh_fdr(
+            jnp.asarray(np.array(pvals_h1)[None], jnp.float32), self.cfg.alpha)
+        for i, band in enumerate(BAND_NAMES):
+            stats_out[band]["wass_h1_p_fdr"] = float(np.array(p_fdr)[0, i])
+            stats_out[band]["wass_h1_sig_fdr"] = bool(np.array(reject)[0, i])
+
+        out = {
+            "analysis": "EEG-Audio Topological Comparison",
+            "method": "Wasserstein distance on persistence diagrams + temporal feature correlation",
+            "audio_construction": f"Takens embedding (dim={self.cfg.takens_dim}, tau=auto, subsample={self.cfg.takens_subsample})",
+            "eeg_construction": "Connectivity graph distance matrix (device pipeline)",
+            "n_recordings": len({r["filename"] + r["condition"] for r in rows}),
+            "n_subjects": len({r["subject"] for r in rows}),
+            "n_slow": len({r["filename"] for r in rows if r["condition"] == "slow"}),
+            "n_fast": len({r["filename"] for r in rows if r["condition"] == "fast"}),
+            "max_windows_per_recording": K_CMP,
+            "statistical_test": "Wilcoxon signed-rank (within-subject, paired)",
+            "multiple_comparison": "Benjamini-Hochberg FDR",
+            "band_results": stats_out,
+            "detailed_rows": rows,
+        }
+        if self.results_dir:
+            self.results_dir.mkdir(parents=True, exist_ok=True)
+            slim = {k: v for k, v in out.items() if k != "detailed_rows"}
+            (self.results_dir / "eeg_audio_tda_comparison.json").write_text(
+                json.dumps(slim, indent=2, default=str))
+            self._write_detailed_csv(rows)
+        return out
+
+    def _write_detailed_csv(self, rows):
+        import csv
+        path = self.results_dir / "eeg_audio_tda_detailed.csv"
+        if not rows:
+            return
+        keys = list(rows[0].keys())
+        with open(path, "w", newline="") as f:
+            wr = csv.DictWriter(f, fieldnames=keys)
+            wr.writeheader()
+            for r in rows:
+                wr.writerow(r)
+
+    # ---------------- analysis: matched vs mismatched control ----------------
+
+    def run_control(self) -> dict:
+        """Matched/mismatched Wasserstein control → matched_vs_mismatched.json.
+
+        Reference scripts/matched_vs_mismatched.py: matched = EEG vs own
+        audio; mismatched = EEG vs the subject's FIRST recording of the
+        opposite condition.
+        """
+        # index: subject → condition → ordered recording idxs
+        by_subj = defaultdict(lambda: defaultdict(list))
+        for i in range(len(self.ds)):
+            fn, subj, cond = self.ds.index[i]
+            by_subj[subj][cond].append(i)
+        for subj in by_subj:
+            for cond in by_subj[subj]:
+                by_subj[subj][cond].sort(key=lambda i: self.ds.index[i][0])
+        common = sorted([s for s in by_subj
+                         if by_subj[s]["slow"] and by_subj[s]["fast"]])
+
+        # mismatch audio diagrams: first file of the opposite condition
+        mis_idx = {}
+        for s in common:
+            mis_idx[(s, "slow")] = by_subj[s]["fast"][0]  # for slow EEG
+            mis_idx[(s, "fast")] = by_subj[s]["slow"][0]  # for fast EEG
+        mis_list = sorted(set(mis_idx.values()))
+        mis_diag = {}
+        for b0 in range(0, len(mis_list), self.eeg_batch):
+            idxs = mis_list[b0:b0 + self.eeg_batch]
+            d = self._comparison_diagrams(idxs)
+            B, NB, K = d["shape"]
+            for bi_, i in enumerate(idxs):
+                sl = slice(bi_ * NB * K, (bi_ + 1) * NB * K)
+                mis_diag[i] = dict(
+                    audio={k: v[sl] for k, v in d["audio"].items()},
+                    kmask=d["kmask"][bi_])
+
+        rows = []
+        all_idx = [i for s in common for c in ("slow", "fast")
+                   for i in by_subj[s][c]]
+        t0 = time.time()
+        for b0 in range(0, len(all_idx), self.eeg_batch):
+            idxs = all_idx[b0:b0 + self.eeg_batch]
+            d = self._comparison_diagrams(idxs)
+            B, NB, K = d["shape"]
+            pair_mask = np.repeat(d["kmask"][:, None, :], NB, 1).reshape(-1)
+            _, w_matched = self._wasserstein_h0h1(d["eeg"], d["audio"], pair_mask)
+            # mismatched: same EEG diagrams vs the mismatch audio diagrams
+            mis_audio = {k: np.concatenate(
+                [mis_diag[mis_idx[(m["subject"], m["condition"])]]["audio"][k]
+                 for m in d["metas"]]) for k in d["audio"]}
+            mis_kmask = np.stack(
+                [mis_diag[mis_idx[(m["subject"], m["condition"])]]["kmask"]
+                 for m in d["metas"]])
+            pm2 = (np.repeat(d["kmask"][:, None, :], NB, 1).reshape(-1)
+                   & np.repeat(mis_kmask[:, None, :], NB, 1).reshape(-1))
+            _, w_mis = self._wasserstein_h0h1(d["eeg"], mis_audio, pm2)
+            w_matched = w_matched.reshape(B, NB, K)
+            w_mis = w_mis.reshape(B, NB, K)
+            for bi_, meta in enumerate(d["metas"]):
+                for bd, band in enumerate(BAND_NAMES):
+                    rows.append(dict(
+                        subject=meta["subject"], condition=meta["condition"],
+                        band=band,
+                        w_matched=float(np.nanmean(w_matched[bi_, bd])),
+                        w_mismatched=float(np.nanmean(w_mis[bi_, bd]))))
+            if self.verbose:
+                print(f"  control: {b0 + len(idxs)}/{len(all_idx)} "
+                      f"({time.time() - t0:.0f}s)")
+        return self._control_stats(rows)
+
+    def _control_stats(self, rows) -> dict:
+        results = {}
+        per = defaultdict(lambda: defaultdict(list))
+        for r in rows:
+            if np.isfinite(r["w_matched"]) and np.isfinite(r["w_mismatched"]):
+                per[r["band"]][r["subject"]].append(r)
+        pvals = []
+        for band in BAND_NAMES:
+            sm = {s: (np.mean([x["w_matched"] for x in rs]),
+                      np.mean([x["w_mismatched"] for x in rs]))
+                  for s, rs in per[band].items()}
+            n = len(sm)
+            if n < 5:
+                results[band] = {"n": n, "status": "insufficient"}
+                pvals.append(1.0)
+                continue
+            diff = np.array([m - mm for (m, mm) in sm.values()])
+            ones = jnp.ones((1, n), bool)
+            _, p = dstats.wilcoxon(jnp.asarray(diff[None], jnp.float32), ones)
+            d_ = dstats.cohens_d_paired(jnp.asarray(diff[None], jnp.float32), ones)
+            m_mean = float(np.mean([m for m, _ in sm.values()]))
+            mm_mean = float(np.mean([mm for _, mm in sm.values()]))
+            results[band] = {
+                "n": n, "w_matched": m_mean, "w_mismatched": mm_mean,
+                "direction": ("matched < mismatched" if m_mean < mm_mean
+                              else "matched > mismatched"),
+                "p": float(np.array(p)[0]),
+                "cohens_d": float(np.array(d_)[0]),
+                "n_matched_lower": int(np.sum(diff < 0)),
+                "pct_matched_lower": float(np.sum(diff < 0) / n * 100),
+            }
+            pvals.append(results[band]["p"])
+        reject, p_fdr = dstats.bh_fdr(
+            jnp.asarray(np.array(pvals)[None], jnp.float32), 0.05)
+        for i, band in enumerate(BAND_NAMES):
+            if "p" in results[band]:
+                results[band]["p_fdr"] = float(np.array(p_fdr)[0, i])
+                results[band]["sig_fdr"] = bool(np.array(reject)[0, i])
+        if self.results_dir:
+            self.results_dir.mkdir(parents=True, exist_ok=True)
+            (self.results_dir / "matched_vs_mismatched.json").write_text(
+                json.dumps(results, indent=2, default=str))
+        return results
+
+    # ---------------- analysis: classification ----------------
+
+    def run_classification(self, n_permutations: int | None = None,
+                           n_bootstrap: int | None = None) -> dict:
+        X, y, subjects, filenames, meta = self.compute_feature_dataset()
+        res = classify.run_classification(
+            X, y, subjects, classify.feature_names_220(), self.cfg,
+            n_permutations=n_permutations, n_bootstrap=n_bootstrap,
+            verbose=self.verbose)
+        res["window_equalization"] = meta
+        if self.results_dir:
+            self.results_dir.mkdir(parents=True, exist_ok=True)
+            (self.results_dir / "results_summary.json").write_text(
+                json.dumps(res, indent=2))
+        return res

@@ -2,36 +2,37 @@
 
 Replaces ripser's dim-1 computation (reference scripts/utils.py:131-141) with a
 TPU-shaped exact algorithm.  Everything runs under static shapes, batched over
-windows; no data-dependent Python control flow.
+windows; no data-dependent Python control flow, and — crucially for TPU — no
+per-window sorts, gathers or scatters over the O(n³) triangle space.
 
-Algorithm (persistent COhomology over GF(2), decreasing-edge order):
+Key design: triangles are addressed by the pair
 
-  phase 1 (pure tensor ops, one shot per batch):
-    * rank all C(n,2) edges by (weight, i, j) — strict total order
-    * rank all C(n,3) triangles by (max-edge-rank, lex) — a valid refinement
-      of the diameter filtration (diam(t) = weight of its max edge)
-    * cofacet table F[e, v] = triangle rank of e ∪ {v} (BIG if absent/out of
-      complex) — built from static index tables + two batched gathers
-    * positivity (creator edges) via Boruvka MST on edge *ranks* (unique
-      forest under a strict order ⇒ same tree Kruskal would build)
-    * apparent-pair sieve: edge e with oldest cofacet t is an apparent pair
-      (e, t) iff e is the youngest facet of t.  By Bauer's apparent-pairs
-      lemma these are persistence pairs of the refined filtration, found with
-      zero reduction — empirically ≥ 93 % of all pairs on this data.
+    key(t) = (g, v),  bit index = g·n + v
 
-  phase 2 (lockstep step machine, one lax.while_loop for the whole batch):
-    all apparent pivots are pre-claimed; the remaining ~40-80 creator columns
-    per window are reduced in decreasing order, one XOR per step, each column
-    represented as a bitset over triangle ranks.  Soundness of pre-claiming:
-    if the working column of edge e has pivot t owned by apparent pair
-    (e', t), then every edge of every triangle in the column's support is
-    ≥ e in filtration, and e' = youngest facet of t ≥ (some facet in the
-    support) ≥ e, so e' was processed earlier — the implied reduction matrix
-    stays triangular and the pairing is the true one.  Measured cost:
-    150-450 total steps per window (EEG 47-pt and audio ≤124-pt alike).
+where g = rank of t's maximal edge (under the strict (weight, i, j) edge
+order) and v = the vertex opposite that edge.  This IS a valid simplexwise
+refinement of the Rips filtration (diam(t) = weight of its max edge; ties
+broken by edge rank then v), and it makes every triangle-level quantity
+computable from the (n, n) edge-rank matrix alone:
 
-Outputs padded (birth, death, mask) diagrams plus overflow flags (budget
-exceeded → recompute those rare windows on the host oracle).
+  * coboundary of edge e=(i,j): for each third vertex v, the cofacet has
+    g = max(rank(e), rank(i,v), rank(j,v)) and opposite vertex selected by
+    which edge attains the max — two row reads of the rank matrix;
+  * a triangle is in the complex iff g < m_cx (count of edges ≤ thresh);
+  * the apparent-pair sieve collapses to: edge e is apparent iff some vertex
+    v has both cross edges ranked below e — and then its pair is (e, (rank_e,
+    min such v)) with death == birth, i.e. *apparent pairs are exactly the
+    invisible pairs* under this refinement.  All visible H1 bars therefore
+    come from the ~40-80 non-apparent creator columns per window.
+
+Those columns are reduced by a lockstep lax.while_loop (persistent cohomology
+over GF(2), decreasing edge order), one XOR per step, columns as bitsets over
+the (g, v) key space.  Pre-claiming apparent pivots is sound: if the working
+column of edge e has pivot (g, v) owned by apparent edge g, every facet of
+every support triangle ranks ≥ e, and g ≥ that facet ⇒ g was processed
+earlier — the implied reduction matrix stays triangular, so the pairing is
+the standard one.  Measured: ~130-800 total steps per window (EEG 47-pt and
+audio ≤124-pt Takens clouds alike), exact match vs the host oracle.
 """
 
 from __future__ import annotations
@@ -43,109 +44,85 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-BIG = jnp.int32(2_000_000_000)
-
-
-# ─────────────────────────────────────────────────────────────────────────────
-# Static combinatorial tables (host, cached per n)
-# ─────────────────────────────────────────────────────────────────────────────
+BIG = 2_000_000_000  # plain int: avoids backend init at import; weak-typed in jnp ops
 
 
 @functools.lru_cache(maxsize=None)
 def static_tables(n: int):
     iu, ju = np.triu_indices(n, k=1)
     m = len(iu)
-    edge_id = np.full((n, n), -1, np.int32)
+    edge_id = np.full((n, n), m, np.int32)  # m = sentinel (diag)
     edge_id[iu, ju] = np.arange(m)
     edge_id[ju, iu] = np.arange(m)
-
-    ti, tj, tk = [], [], []
-    for a in range(n - 2):
-        for b in range(a + 1, n - 1):
-            cs = np.arange(b + 1, n, dtype=np.int32)
-            ti.append(np.full(len(cs), a, np.int32))
-            tj.append(np.full(len(cs), b, np.int32))
-            tk.append(cs)
-    ti = np.concatenate(ti); tj = np.concatenate(tj); tk = np.concatenate(tk)
-    n_tri = len(ti)
-    tri_edges = np.stack(
-        [edge_id[ti, tj], edge_id[ti, tk], edge_id[tj, tk]], axis=1
-    ).astype(np.int32)  # (n_tri, 3) static edge ids
-
-    # static tri index for (edge, third vertex); -1 when vertex ∈ edge
-    tri_of_ev = np.full((m, n), -1, np.int32)
-    tr = np.arange(n_tri, dtype=np.int32)
-    tri_of_ev[tri_edges[:, 0], tk] = tr
-    tri_of_ev[tri_edges[:, 1], tj] = tr
-    tri_of_ev[tri_edges[:, 2], ti] = tr
-
     return dict(
-        iu=iu.astype(np.int32), ju=ju.astype(np.int32), m=m, n_tri=n_tri,
-        tri_edges=tri_edges, tri_of_ev=tri_of_ev,
+        iu=iu.astype(np.int32), ju=ju.astype(np.int32), m=m,
+        flat_ut=(iu * n + ju).astype(np.int32),       # upper-tri flat positions
+        edge_id_flat=edge_id.reshape(-1),             # (n*n,) static gather map
     )
 
 
-def _inverse_perm(perm: jnp.ndarray) -> jnp.ndarray:
-    """Batched inverse permutation. perm: (B, m)."""
-    B, m = perm.shape
-    out = jnp.zeros((B, m), jnp.int32)
-    return out.at[jnp.arange(B)[:, None], perm].set(
-        jnp.broadcast_to(jnp.arange(m, dtype=jnp.int32), (B, m)))
+def _sort_with_payload(keys, payload):
+    """Ascending stable sort of keys, carrying payload (B, m)."""
+    k, p = jax.lax.sort((keys, payload), dimension=-1, num_keys=1, is_stable=True)
+    return k, p
 
 
-def _prim_forest(e_rank_mat: jnp.ndarray, in_cx_mat: jnp.ndarray) -> jnp.ndarray:
-    """Minimum spanning forest on edge *ranks* — marks destroyer (tree) edges.
+def _iota_like(x):
+    return jnp.broadcast_to(jnp.arange(x.shape[-1], dtype=jnp.int32), x.shape)
 
-    e_rank_mat: (B, n, n) int32 rank of edge (i,j) (symmetric),
-    in_cx_mat:  (B, n, n) bool edge within threshold.
-    Returns (B, n, n) bool tree-edge matrix.
 
-    Ranks are a strict total order, so the minimum spanning forest is unique
-    and equals the Kruskal-by-rank forest the pairing theory assumes.  Prim
-    sweep with n−1 lax.scan steps, vmapped over the batch; when a component is
-    exhausted (frontier min = BIG) the sweep jumps to an arbitrary unvisited
-    vertex without marking an edge — yielding the spanning *forest* under
-    threshold truncation / padded points.
+def _prim_forest(key_mat: jnp.ndarray) -> jnp.ndarray:
+    """Minimum spanning forest over a strict-order key matrix (BIG = absent).
+
+    key_mat: (B, n, n) int32, symmetric, diag/absent = BIG.
+    Returns (B, n, n) bool tree-edge matrix.  Ranks are a strict total order,
+    so the forest is unique and equals the Kruskal-by-rank forest the pairing
+    theory assumes.  n−1 lax.scan steps over the batch; exhausted components
+    jump to an arbitrary unvisited vertex without marking an edge.
+
+    Implementation note: per-batch dynamic scatters are replaced throughout by
+    broadcast-compare + select — on this TPU platform elementwise
+    scatter/gather lowers to ~40 ns/element scalar loops, while comparing
+    against an iota and reducing stays on the VPU.
     """
-    B, n, _ = e_rank_mat.shape
-    key = jnp.where(in_cx_mat, e_rank_mat, BIG)
-    key = jnp.where(jnp.eye(n, dtype=bool), BIG, key)
+    B, n, _ = key_mat.shape
+    vr = jnp.arange(n, dtype=jnp.int32)
 
-    def one(k):
-        in_tree = jnp.zeros(n, bool).at[0].set(True)
-        dist = k[0]
-        pred = jnp.zeros(n, jnp.int32)
-        tree = jnp.zeros((n, n), bool)
+    in_tree = jnp.zeros((B, n), bool).at[:, 0].set(True)
+    dist = key_mat[:, 0, :]
+    pred = jnp.zeros((B, n), jnp.int32)
+    tree = jnp.zeros((B, n, n), bool)
 
-        def step(carry, _):
-            in_tree, dist, pred, tree = carry
-            cand = jnp.where(in_tree, BIG, dist)
-            # prefer any reachable vertex; otherwise jump to an unvisited one
-            nxt = jnp.argmin(cand)
-            w = cand[nxt]
-            reachable = w < BIG
-            nxt = jnp.where(reachable, nxt,
-                            jnp.argmax(~in_tree))  # first unvisited
-            p = pred[nxt]
-            tree = tree.at[p, nxt].max(reachable)
-            tree = tree.at[nxt, p].max(reachable)
-            in_tree = in_tree.at[nxt].set(True)
-            better = k[nxt] < dist
-            pred = jnp.where(better, nxt, pred)
-            dist = jnp.minimum(dist, k[nxt])
-            return (in_tree, dist, pred, tree), None
+    def step(carry, _):
+        in_tree, dist, pred, tree = carry
+        cand = jnp.where(in_tree, BIG, dist)
+        nxt_r = jnp.argmin(cand, axis=-1).astype(jnp.int32)          # (B,)
+        w = jnp.min(cand, axis=-1)
+        reachable = w < BIG
+        nxt = jnp.where(reachable, nxt_r,
+                        jnp.argmax(~in_tree, axis=-1).astype(jnp.int32))
+        sel_nxt = vr[None, :] == nxt[:, None]                        # (B, n)
+        p = jnp.sum(jnp.where(sel_nxt, pred, 0), axis=-1)            # pred[nxt]
+        sel_p = vr[None, :] == p[:, None]
+        upd = (sel_p[:, :, None] & sel_nxt[:, None, :]) | \
+              (sel_nxt[:, :, None] & sel_p[:, None, :])
+        tree = tree | (upd & reachable[:, None, None])
+        in_tree = in_tree | sel_nxt
+        k_nxt = jnp.sum(jnp.where(sel_nxt[:, :, None], key_mat, 0), axis=1)  # row nxt
+        better = k_nxt < dist
+        pred = jnp.where(better, nxt[:, None], pred)
+        dist = jnp.minimum(dist, k_nxt)
+        return (in_tree, dist, pred, tree), None
 
-        (in_tree, dist, pred, tree), _ = jax.lax.scan(
-            step, (in_tree, dist, pred, tree), None, length=n - 1)
-        return tree
-
-    return jax.vmap(one)(key)
+    (in_tree, dist, pred, tree), _ = jax.lax.scan(
+        step, (in_tree, dist, pred, tree), None, length=n - 1)
+    return tree
 
 
 @partial(jax.jit, static_argnames=("n", "thresh", "na_max", "h1_max", "step_budget"))
-def h1_diagrams(dm: jnp.ndarray, *, n: int, thresh: float, na_max: int = 128,
-                h1_max: int = 192, step_budget: int = 4096):
-    """Batched exact H1 persistence diagrams.
+def h1_diagrams(dm: jnp.ndarray, *, n: int, thresh: float, na_max: int = 96,
+                h1_max: int = 96, step_budget: int = 4096):
+    """Batched exact H1 persistence diagrams (see module docstring).
 
     dm: (B, n, n) symmetric distances, zero diag (padding points must carry
     distances > thresh so their simplices fall outside the complex).
@@ -154,116 +131,129 @@ def h1_diagrams(dm: jnp.ndarray, *, n: int, thresh: float, na_max: int = 128,
       births, deaths: (B, h1_max) f32 (death = +inf for essential classes)
       mask:           (B, h1_max) bool — visible bars (death > birth)
       n_essential:    (B,) int32
-      overflow:       (B,) bool — na_max/h1_max/step budget exceeded
-                      (recompute those windows on the host oracle)
+      h0_deaths:      (B, n-1) f32 — MST merge weights by rank (+inf padding)
+      h0_mask:        (B, n-1) bool — finite, nonzero, ≤ thresh merges
+      n_tree:         (B,) int32 — in-complex MST edges (for H0 essential count)
+      overflow:       (B,) bool — na_max/step budget exceeded
     """
     st = static_tables(n)
-    m, n_tri = st["m"], st["n_tri"]
+    m = st["m"]
     iu = jnp.asarray(st["iu"]); ju = jnp.asarray(st["ju"])
-    tri_edges = jnp.asarray(st["tri_edges"])       # (n_tri, 3) static edge ids
-    tri_of_ev = jnp.asarray(st["tri_of_ev"])       # (m, n) static tri ids
+    flat_ut = jnp.asarray(st["flat_ut"])
+    edge_id_flat = jnp.asarray(st["edge_id_flat"])
     B = dm.shape[0]
-    bi = jnp.arange(B)[:, None]
-    W = (n_tri + 31) // 32  # bitset words per column
+    bi = jnp.arange(B)
+    KS = m * n                       # bit-key space
+    W = (KS + 31) // 32              # bitset words per column
+    varange = jnp.arange(n, dtype=jnp.int32)
 
-    # ---------------- phase 1 ----------------
-    w = dm[:, iu, ju].astype(jnp.float32)                       # (B, m)
-    e_sort = jnp.argsort(w, axis=-1, stable=True).astype(jnp.int32)
-    ew_r = jnp.take_along_axis(w, e_sort, axis=-1)              # weight by rank
-    e_rank = _inverse_perm(e_sort)                              # static id → rank
-    in_cx_e_r = ew_r <= thresh                                  # by rank
+    # ---------------- phase 1: edge ranks + sieve (no triangle tensors) -----
+    w = dm.reshape(B, n * n)[:, flat_ut].astype(jnp.float32)      # (B, m)
+    ew_r, e_sort = _sort_with_payload(w, _iota_like(w))           # by rank
+    _, e_rank = _sort_with_payload(e_sort, _iota_like(e_sort))    # static → rank
+    m_cx = jnp.sum(ew_r <= thresh, axis=-1).astype(jnp.int32)     # (B,)
+    in_cx_r = _iota_like(ew_r) < m_cx[:, None]
 
-    ter = e_rank[:, tri_edges]                                  # (B, n_tri, 3) ranks
-    emax_s = jnp.max(ter, axis=-1)                              # (B, n_tri) static order
-    # triangle order: (max edge rank, static lex index) — the stable argsort of
-    # the max-edge rank breaks ties by lex index automatically
-    t_sort = jnp.argsort(emax_s, axis=-1, stable=True).astype(jnp.int32)  # rank → static id
-    t_rank = _inverse_perm(t_sort)                              # static id → rank
-    diam_s = jnp.take_along_axis(ew_r, emax_s, axis=-1)         # (B, n_tri) static order
-    diam_r = jnp.take_along_axis(diam_s, t_sort, axis=-1)       # by tri rank
-    emax_r = jnp.take_along_axis(emax_s, t_sort, axis=-1)       # youngest facet by tri rank
-    in_cx_t_s = diam_s <= thresh
+    # (n, n) rank matrix (BIG on the diagonal) via static gather
+    e_rank_pad = jnp.concatenate(
+        [e_rank, jnp.full((B, 1), BIG, jnp.int32)], axis=-1)
+    rank_mat = e_rank_pad[:, edge_id_flat].reshape(B, n, n)
+    rank_flat = rank_mat.reshape(B, n * n)
 
-    # cofacet table in (edge rank, vertex) space → triangle ranks
-    ev_idx = jnp.broadcast_to(
-        jnp.maximum(tri_of_ev, 0).reshape(1, -1), (B, m * n))
-    F_stat = jnp.where(tri_of_ev[None] >= 0,
-                       jnp.take_along_axis(t_rank, ev_idx, axis=-1).reshape(B, m, n),
-                       BIG)
-    incx_ev = jnp.where(tri_of_ev[None] >= 0,
-                        jnp.take_along_axis(in_cx_t_s, ev_idx, axis=-1).reshape(B, m, n),
-                        False)
-    F_stat = jnp.where(incx_ev, F_stat, BIG)                    # (B, m static, n)
-    # reorder rows to edge-rank space
-    Fr = jnp.take_along_axis(F_stat, e_sort[:, :, None], axis=1)  # (B, m rank, n)
+    # spanning forest on in-complex ranks → positivity + H0
+    key_mat = jnp.where(rank_mat < m_cx[:, None, None], rank_mat, BIG)
+    tree_mat = _prim_forest(key_mat)
+    tree_static = tree_mat.reshape(B, n * n)[:, flat_ut]
 
-    # positivity by rank (Boruvka over the rank matrix)
-    rank_mat = jnp.full((B, n, n), BIG, jnp.int32)
-    rank_mat = rank_mat.at[:, iu, ju].set(e_rank)
-    rank_mat = rank_mat.at[:, ju, iu].set(e_rank)
-    incx_mat = jnp.zeros((B, n, n), bool)
-    incx_by_static = jnp.take_along_axis(in_cx_e_r, e_rank, axis=-1)
-    incx_mat = incx_mat.at[:, iu, ju].set(incx_by_static)
-    incx_mat = incx_mat.at[:, ju, iu].set(incx_by_static)
-    tree_mat = _prim_forest(rank_mat, incx_mat)
-    tree_static = tree_mat[:, iu, ju]                           # (B, m) static order
-    tree_r = jnp.take_along_axis(tree_static, e_sort, axis=-1)
-    positive_r = (~tree_r) & in_cx_e_r                          # creators, by rank
+    # apparent sieve: edge (static s) apparent iff ∃v: both cross ranks < rank
+    riv = rank_mat[:, st["iu"], :]                                # (B, m, n)
+    rjv = rank_mat[:, st["ju"], :]
+    r_e = e_rank[:, :, None]
+    both = (riv < r_e) & (rjv < r_e)
+    has_app = jnp.any(both, axis=-1)                              # (B, m) static
+    vstar_static = jnp.argmax(both, axis=-1).astype(jnp.int32)    # first such v
+    vstar_static = jnp.where(has_app, vstar_static, -1)
 
-    # apparent-pair sieve
-    oc = jnp.min(Fr, axis=-1)                                   # (B, m) oldest cofacet (tri rank)
-    has_cof = oc < BIG
-    rank_ids = jnp.broadcast_to(jnp.arange(m, dtype=jnp.int32), (B, m))
-    yf_of_oc = jnp.take_along_axis(emax_r, jnp.minimum(oc, n_tri - 1), axis=-1)
-    apparent = positive_r & has_cof & (yf_of_oc == rank_ids)
+    # static-order → rank-order permutation applied via one multi-payload
+    # sort (dynamic per-element gathers are ~40 ns/element on this platform)
+    iu_b = jnp.broadcast_to(iu[None, :], (B, m)).astype(jnp.int32)
+    ju_b = jnp.broadcast_to(ju[None, :], (B, m)).astype(jnp.int32)
+    _, tree_i, vstar_r, iu_r, ju_r = jax.lax.sort(
+        (e_rank, tree_static.astype(jnp.int32), vstar_static, iu_b, ju_b),
+        dimension=-1, num_keys=1, is_stable=True)
+    tree_r = tree_i.astype(bool)
+    positive_r = (~tree_r) & in_cx_r
+    apparent_r = (vstar_r >= 0) & positive_r
 
-    # pre-claim pivots: pivot_owner[tri rank] = edge rank (apparent) else -1
-    pivot_owner = jnp.full((B, n_tri), -1, jnp.int32)
-    scatter_idx = jnp.where(apparent, oc, n_tri)                # drop non-apparent
-    pivot_owner = pivot_owner.at[bi, scatter_idx].set(rank_ids, mode="drop")
+    # H0 finite deaths = in-complex tree-edge weights, compacted by sort
+    h0_deaths = jnp.sort(jnp.where(tree_r & in_cx_r, ew_r, jnp.inf), axis=-1)[:, : n - 1]
+    h0_mask = jnp.isfinite(h0_deaths) & (h0_deaths > 0.0)
+    n_tree = jnp.sum(tree_r & in_cx_r, axis=-1).astype(jnp.int32)
 
-    # non-apparent creator list, descending rank order, padded to na_max
-    na_mask = positive_r & ~apparent
+    # non-apparent creators, descending rank, padded with -1
+    na_mask = positive_r & ~apparent_r
     n_na = jnp.sum(na_mask, axis=-1)
-    na_key = jnp.where(na_mask, rank_ids, -1)
-    na_sorted = jnp.sort(na_key, axis=-1)[:, ::-1]              # desc; -1 padding last
-    na_list = na_sorted[:, :na_max]                             # (B, na_max) edge ranks
+    na_key = jnp.where(na_mask, _iota_like(ew_r), -1)
+    na_list = jnp.sort(na_key, axis=-1)[:, ::-1][:, :na_max]      # (B, na_max)
     overflow_na = n_na > na_max
-    # edge rank → NA position (for stored-column lookup)
-    na_pos = jnp.full((B, m), -1, jnp.int32)
-    na_scatter = jnp.where(na_list >= 0, na_list, m)
-    na_pos = na_pos.at[bi, na_scatter].set(
-        jnp.broadcast_to(jnp.arange(na_max, dtype=jnp.int32), (B, na_max)), mode="drop")
 
     # ---------------- phase 2: lockstep reduction ----------------
-    def cobd_bitset(own_rank):
-        """(B,) edge ranks → (B, W) coboundary bitsets (scatter of ≤ n bits)."""
-        rows = jnp.take_along_axis(Fr, own_rank[:, None, None], axis=1)[:, 0]  # (B, n)
-        valid = rows < BIG
-        word = jnp.where(valid, rows >> 5, W)
-        bit = jnp.where(valid, jnp.uint32(1) << (rows & 31).astype(jnp.uint32), 0)
-        out = jnp.zeros((B, W), jnp.uint32)
-        return out.at[bi, word].add(bit, mode="drop")
+    # NOTE on this platform: per-batch-element dynamic gather/scatter lowers
+    # to ~40 ns/element scalar loops.  Every dynamic lookup below is instead a
+    # broadcast-compare + masked reduction (VPU-resident, fully fused).
+    word_iota = jnp.arange(W, dtype=jnp.int32)
+
+    def bsel(table, idx):
+        """table (B, L), idx (B,) → table[b, idx[b]] via compare-reduce."""
+        L = table.shape[-1]
+        io = jnp.arange(L, dtype=jnp.int32)
+        sel = io[None, :] == idx[:, None]
+        if table.dtype == jnp.bool_:
+            return jnp.any(sel & table, axis=-1)
+        return jnp.sum(jnp.where(sel, table, 0), axis=-1)
+
+    def cobd_bitset(g):
+        """(B,) edge ranks → (B, W) coboundary bitsets, from rank-matrix rows."""
+        i_g = bsel(iu_r, g)
+        j_g = bsel(ju_r, g)
+        sel_i = (varange[None, :] == i_g[:, None])[:, :, None]       # (B, n, 1)
+        sel_j = (varange[None, :] == j_g[:, None])[:, :, None]
+        rm = rank_mat
+        row_i = jnp.sum(jnp.where(sel_i, rm, 0), axis=1)             # (B, n)
+        row_j = jnp.sum(jnp.where(sel_j, rm, 0), axis=1)
+        gmax = jnp.maximum(g[:, None], jnp.maximum(row_i, row_j))
+        opp = jnp.where(gmax == row_i, j_g[:, None],
+                        jnp.where(gmax == row_j, i_g[:, None], varange[None, :]))
+        valid = gmax < m_cx[:, None]
+        key = gmax * n + opp
+        word = key >> 5
+        bit = jnp.where(valid,
+                        jnp.uint32(1) << (key & 31).astype(jnp.uint32),
+                        jnp.uint32(0))
+        # segment-OR via compare-reduce (distinct keys ⇒ add == or)
+        hit = word[:, :, None] == word_iota[None, None, :]           # (B, n, W)
+        return jnp.sum(jnp.where(hit, bit[:, :, None], 0), axis=1,
+                       dtype=jnp.uint32)
 
     def first_set_bit(col):
         nz = col != 0
         any_ = jnp.any(nz, axis=-1)
-        w_idx = jnp.argmax(nz, axis=-1)
-        val = jnp.take_along_axis(col, w_idx[:, None], axis=-1)[:, 0]
+        w_idx = jnp.argmax(nz, axis=-1).astype(jnp.int32)
+        val = bsel(col, w_idx)
         low_bit = val & (~val + jnp.uint32(1))
         tz = jax.lax.population_count(low_bit - jnp.uint32(1))
-        lo = (w_idx.astype(jnp.int32) << 5) + jnp.where(val == 0, 0, tz.astype(jnp.int32))
-        return jnp.where(any_, lo, -1), any_
+        p = (w_idx << 5) + jnp.where(val == 0, 0, tz.astype(jnp.int32))
+        return jnp.where(any_, p, -1), any_
 
     cur0 = jnp.zeros((B,), jnp.int32)
-    first_edge = jnp.take_along_axis(na_list, cur0[:, None], axis=-1)[:, 0]
+    first_edge = na_list[:, 0]
     active0 = first_edge >= 0
     col0 = jnp.where(active0[:, None], cobd_bitset(jnp.maximum(first_edge, 0)), 0)
     state = dict(
         col=col0, cur=cur0, active=active0,
-        pivot_owner=pivot_owner,
+        claims=jnp.full((B, KS), -1, jnp.int8),
         stored=jnp.zeros((B, na_max, W), jnp.uint32),
-        pair_lo=jnp.full((B, na_max), -1, jnp.int32),
+        pair_p=jnp.full((B, na_max), -1, jnp.int32),
         essential=jnp.zeros((B, na_max), bool),
         steps=jnp.int32(0),
     )
@@ -271,81 +261,75 @@ def h1_diagrams(dm: jnp.ndarray, *, n: int, thresh: float, na_max: int = 128,
     def cond(s):
         return jnp.any(s["active"]) & (s["steps"] < step_budget)
 
+    na_iota = jnp.arange(na_max, dtype=jnp.int32)
+
     def body(s):
         col, cur, active = s["col"], s["cur"], s["active"]
-        po, stored = s["pivot_owner"], s["stored"]
-        cur_edge = jnp.take_along_axis(na_list, cur[:, None], axis=-1)[:, 0]
-        lo, nonzero = first_set_bit(col)
-        own = jnp.take_along_axis(po, jnp.maximum(lo, 0)[:, None], axis=-1)[:, 0]
-        own = jnp.where(nonzero, own, -2)          # -2 → column vanished (essential)
-        claimed = own >= 0
-
-        # operand when pivot already claimed
-        own_safe = jnp.maximum(own, 0)
-        own_na = jnp.take_along_axis(na_pos, own_safe[:, None], axis=-1)[:, 0]
-        is_stored = own_na >= 0
-        stored_col = jnp.take_along_axis(
-            stored, jnp.maximum(own_na, 0)[:, None, None], axis=1)[:, 0]
-        cob_col = cobd_bitset(own_safe)
-        operand = jnp.where(is_stored[:, None], stored_col, cob_col)
+        claims, stored = s["claims"], s["stored"]
+        p, nonzero = first_set_bit(col)
+        p_safe = jnp.maximum(p, 0)
+        g = p_safe // n
+        v = p_safe - g * n
+        vs_g = bsel(vstar_r, g)
+        app_g = bsel(apparent_r, g)
+        own_app = nonzero & app_g & (vs_g == v)
+        own_slot = jnp.take_along_axis(
+            claims, p_safe[:, None], axis=-1)[:, 0].astype(jnp.int32)
+        own_na = nonzero & ~own_app & (own_slot >= 0)
+        claimed = own_app | own_na
 
         do_xor = active & claimed
-        finish = active & ~claimed                  # claim new pivot or vanish
+        finish = active & ~claimed
+        nxt_cur = jnp.where(finish, cur + 1, cur)
+        nxt_edge = bsel(na_list, jnp.minimum(nxt_cur, na_max - 1))
+        still = finish & (nxt_cur < na_max) & (nxt_edge >= 0)
 
-        # claim
-        po = po.at[bi[:, 0], jnp.where(finish & nonzero, lo, n_tri)].set(
-            cur_edge, mode="drop")
-        pair_lo = s["pair_lo"].at[bi[:, 0], jnp.where(finish & nonzero, cur, na_max)].set(
-            lo, mode="drop")
-        essential = s["essential"].at[
-            bi[:, 0], jnp.where(finish & ~nonzero, cur, na_max)].set(True, mode="drop")
-        stored = stored.at[
-            bi[:, 0], jnp.where(finish & nonzero, cur, na_max)].set(
+        # one fused cobd build serves both uses (operand XOR vs next column)
+        cob_g = jnp.where(do_xor & own_app, g, jnp.maximum(nxt_edge, 0))
+        cob = cobd_bitset(cob_g)
+        # stored-column reads are rare (most owners are apparent): skip the
+        # row gather entirely on iterations where no window needs it
+        stc = jnp.take_along_axis(
+            stored, jnp.maximum(own_slot, 0)[:, None, None], axis=1)[:, 0]
+        operand = jnp.where(own_app[:, None], cob, stc)
+
+        # state writes (small per-batch scatters; row writes are contiguous)
+        claims = claims.at[bi, jnp.where(finish & nonzero, p_safe, KS)].set(
+            cur.astype(jnp.int8), mode="drop")
+        sel_cur = na_iota[None, :] == cur[:, None]
+        fn = (finish & nonzero)[:, None]
+        pair_p = jnp.where(sel_cur & fn, p[:, None], s["pair_p"])
+        essential = s["essential"] | (sel_cur & (finish & ~nonzero)[:, None])
+        stored = stored.at[bi, jnp.where(finish & nonzero, cur, na_max)].set(
             col, mode="drop")
 
-        # advance / xor
-        nxt_cur = jnp.where(finish, cur + 1, cur)
-        nxt_edge = jnp.take_along_axis(
-            na_list, jnp.minimum(nxt_cur, na_max - 1)[:, None], axis=-1)[:, 0]
-        still = finish & (nxt_cur < na_max) & (nxt_edge >= 0)
-        new_col = jnp.where(
-            do_xor[:, None], col ^ operand,
-            jnp.where(still[:, None], cobd_bitset(jnp.maximum(nxt_edge, 0)), col))
+        new_col = jnp.where(do_xor[:, None], col ^ operand,
+                            jnp.where(still[:, None], cob, col))
         active = jnp.where(finish, still, active)
-        return dict(col=new_col, cur=nxt_cur, active=active, pivot_owner=po,
-                    stored=stored, pair_lo=pair_lo, essential=essential,
+        return dict(col=new_col, cur=nxt_cur, active=active, claims=claims,
+                    stored=stored, pair_p=pair_p, essential=essential,
                     steps=s["steps"] + 1)
 
     final = jax.lax.while_loop(cond, body, state)
     overflow_steps = final["active"]  # (B,) still unfinished at budget end
 
-    # ---------------- extraction ----------------
-    # candidate bars: apparent pairs (by edge rank) + machine pairs (by NA slot)
-    birth_app = ew_r
-    death_app = jnp.take_along_axis(diam_r, jnp.minimum(oc, n_tri - 1), axis=-1)
-    vis_app = apparent & (death_app > birth_app)
-
+    # ---------------- extraction (machine pairs only — apparent pairs are
+    # zero-persistence under this refinement and never visible) ----------------
     na_edge = jnp.maximum(na_list, 0)
-    birth_na = jnp.take_along_axis(ew_r, na_edge, axis=-1)
-    death_na = jnp.take_along_axis(
-        diam_r, jnp.maximum(final["pair_lo"], 0), axis=-1)
-    paired_na = final["pair_lo"] >= 0
-    ess_na = final["essential"] & (na_list >= 0)
-    death_na = jnp.where(ess_na, jnp.inf, death_na)
-    vis_na = (na_list >= 0) & (paired_na | ess_na) & (death_na > birth_na)
+    births = jnp.take_along_axis(ew_r, na_edge, axis=-1)
+    g_pair = jnp.maximum(final["pair_p"], 0) // n
+    deaths = jnp.take_along_axis(ew_r, g_pair, axis=-1)
+    ess = final["essential"] & (na_list >= 0)
+    deaths = jnp.where(ess, jnp.inf, deaths)
+    vis = (na_list >= 0) & ((final["pair_p"] >= 0) | ess) & (deaths > births)
 
-    births = jnp.concatenate([birth_app, birth_na], axis=-1)
-    deaths = jnp.concatenate([death_app, death_na], axis=-1)
-    vis = jnp.concatenate([vis_app, vis_na], axis=-1)
-    n_vis = jnp.sum(vis, axis=-1)
-    overflow_bars = n_vis > h1_max
-    # compact visible bars to the front: sort by (!vis) stable
     order = jnp.argsort(~vis, axis=-1, stable=True)[:, :h1_max]
     births = jnp.take_along_axis(births, order, axis=-1)
     deaths = jnp.take_along_axis(deaths, order, axis=-1)
     mask = jnp.take_along_axis(vis, order, axis=-1)
+    n_essential = jnp.sum(ess, axis=-1).astype(jnp.int32)
+    overflow = overflow_na | overflow_steps | (jnp.sum(vis, axis=-1) > h1_max)
 
-    n_essential = jnp.sum(ess_na, axis=-1).astype(jnp.int32)
-    overflow = overflow_na | overflow_steps | overflow_bars
     return dict(births=births, deaths=deaths, mask=mask,
-                n_essential=n_essential, overflow=overflow)
+                n_essential=n_essential, overflow=overflow,
+                h0_deaths=h0_deaths, h0_mask=h0_mask, n_tree=n_tree)

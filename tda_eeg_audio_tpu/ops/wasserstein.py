@@ -1,0 +1,190 @@
+"""Batched diagram Wasserstein distances on device.
+
+Replaces persim's Hungarian-based matching (reference scripts/utils.py:12,
+180-191) with TPU-shaped batched solvers over padded diagrams:
+
+  * `build_cost_matrix` — persim's exact cost construction (L∞ ground metric,
+    own-diagonal cost (death−birth)/2, max-of-matrix blocking for non-own
+    diagonal slots, zero diagonal↔diagonal block), extended with padding rows
+    and columns that are *forced* to match each other at zero cost, so the
+    valid sub-assignment equals persim's exactly.
+  * `auction_solve` — Bertsekas forward auction with ε-scaling, batched over
+    pairs; yields an assignment whose cost is within S·ε_final of optimal
+    (ε_final ~ 1e-6·scale ⇒ error below the 1e-4 tolerance the downstream
+    Wilcoxon/FDR statistics are gated at).  Fully vectorized: each iteration
+    is a (B, S, S) reduction + conflict resolution; no per-pair control flow.
+  * `sinkhorn_cost` — entropic OT on the same cost matrix (fast approximate
+    path; ε-annealed, log-domain).
+
+The host Hungarian oracle (oracle/wasserstein_ref.py) is the parity anchor.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+NEG = -3.0e38
+
+
+def build_cost_matrix(b1, d1, m1, b2, d2, m2, big: float = 1e9):
+    """persim cost matrix for padded diagrams.
+
+    b1, d1: (B, K1) births/deaths, m1: (B, K1) valid mask (finite bars only);
+    likewise side 2.  Returns (B, K1+K2, K1+K2) f32.
+    Rows: [side-1 points | side-2 diagonal helpers];
+    cols: [side-2 points | side-1 diagonal slots].
+    """
+    B, K1 = b1.shape
+    K2 = b2.shape[1]
+    inf_ = jnp.float32(big)
+
+    dul = jnp.maximum(
+        jnp.abs(b1[:, :, None] - b2[:, None, :]),
+        jnp.abs(d1[:, :, None] - d2[:, None, :]),
+    )
+    vv = m1[:, :, None] & m2[:, None, :]
+    blocker = jnp.max(jnp.where(vv, dul, 0.0), axis=(1, 2))[:, None, None]
+
+    eye1 = jnp.eye(K1, dtype=bool)[None]
+    eye2 = jnp.eye(K2, dtype=bool)[None]
+    diag1 = (0.5 * (d1 - b1))[:, :, None]
+    diag2 = (0.5 * (d2 - b2))[:, None, :]
+
+    # top-left: points vs points
+    tl = jnp.where(vv, dul, inf_)
+    # top-right: side-1 points vs side-1 diagonal slots
+    tr = jnp.where(eye1, jnp.where(m1[:, :, None], diag1, 0.0),
+                   jnp.where(m1[:, :, None] & m1[:, None, :], blocker, inf_))
+    # bottom-left: side-2 helpers vs side-2 points
+    bl = jnp.where(eye2, jnp.where(m2[:, None, :], diag2, 0.0),
+                   jnp.where(m2[:, :, None] & m2[:, None, :], blocker, inf_))
+    # bottom-right: helpers vs slots — free for valid×valid (persim zero
+    # block); pads confined to the forced pad↔pad zero entries above
+    br = jnp.where(m2[:, :, None] & m1[:, None, :], 0.0, inf_)
+
+    top = jnp.concatenate([tl, tr], axis=2)
+    bot = jnp.concatenate([bl, br], axis=2)
+    return jnp.concatenate([top, bot], axis=1)
+
+
+@partial(jax.jit, static_argnames=("n_phases", "iters_per_phase"))
+def auction_solve(D, n_phases: int = 10, iters_per_phase: int = 384):
+    """Batched ε-scaling forward auction for min-cost perfect assignment.
+
+    D: (B, S, S) f32 (entries may be big for forbidden matches).
+    Returns (cost (B,), assigned_col (B, S) int32, converged (B,) bool).
+    """
+    B, S, _ = D.shape
+    a = -D  # maximize profit
+    scale = jnp.maximum(jnp.max(jnp.abs(jnp.where(D < 1e8, D, 0.0)),
+                                axis=(1, 2)), 1e-6)  # (B,)
+    eps_final = 5e-8 * scale * (128.0 / S)  # S·ε_final ≲ 1e-5·scale
+    ri = jnp.arange(S)
+
+    def phase(carry, k):
+        prices, _, _ = carry
+        eps = jnp.maximum(scale / (5.0 ** k.astype(jnp.float32)) * 0.5, eps_final)
+        row_col = jnp.full((B, S), -1, jnp.int32)
+        col_row = jnp.full((B, S), -1, jnp.int32)
+
+        def cond(s):
+            row_col, col_row, prices, it = s
+            return jnp.any(row_col < 0) & (it < iters_per_phase)
+
+        def body(s):
+            row_col, col_row, prices, it = s
+            unass = row_col < 0                                   # (B, S)
+            v = a - prices[:, None, :]                            # (B, S, S)
+            best = jnp.max(v, axis=-1)
+            jstar = jnp.argmax(v, axis=-1).astype(jnp.int32)
+            v2 = jnp.where(ri[None, None, :] == jstar[:, :, None], NEG, v)
+            second = jnp.max(v2, axis=-1)
+            bid = best - second + eps[:, None]                    # ≥ eps
+            # column-wise winner among unassigned bidders
+            bid_mat = jnp.where(
+                unass[:, :, None] & (ri[None, None, :] == jstar[:, :, None]),
+                bid[:, :, None], NEG)                             # (B, rows, cols)
+            win_bid = jnp.max(bid_mat, axis=1)                    # (B, S cols)
+            win_row = jnp.argmax(bid_mat, axis=1).astype(jnp.int32)
+            touched = win_bid > NEG / 2
+            # raise prices
+            prices = jnp.where(touched, prices + win_bid, prices)
+            # unassign previous owners of touched columns
+            prev = jnp.where(touched, col_row, -1)
+            row_col = row_col.at[jnp.arange(B)[:, None],
+                                 jnp.where(prev >= 0, prev, S)].set(-1, mode="drop")
+            # assign winners
+            col_row = jnp.where(touched, win_row, col_row)
+            row_col = row_col.at[jnp.arange(B)[:, None],
+                                 jnp.where(touched, win_row, S)].set(
+                jnp.broadcast_to(ri[None], (B, S)).astype(jnp.int32), mode="drop")
+            return row_col, col_row, prices, it + 1
+
+        row_col, col_row, prices, it = jax.lax.while_loop(
+            cond, body, (row_col, col_row, prices, jnp.int32(0)))
+        done = ~jnp.any(row_col < 0, axis=-1)
+        return (prices, row_col, done), None
+
+    prices0 = jnp.zeros((B, S), jnp.float32)
+    (prices, row_col, done), _ = jax.lax.scan(
+        phase, (prices0, jnp.full((B, S), -1, jnp.int32),
+                jnp.zeros((B,), bool)),
+        jnp.arange(n_phases))
+    safe = jnp.maximum(row_col, 0)
+    cost = jnp.sum(jnp.take_along_axis(
+        D, safe[:, :, None], axis=-1)[:, :, 0] * (row_col >= 0), axis=-1)
+    return cost, row_col, done
+
+
+def wasserstein_pairs(b1, d1, m1, b2, d2, m2, n_phases: int = 10,
+                      iters_per_phase: int = 384):
+    """persim-style Wasserstein for batched padded diagram pairs.
+
+    Masks must select FINITE bars only (reference safe_wasserstein drops
+    non-finite rows).  Empty diagrams are replaced by a single (0, 0) point
+    (reference scripts/utils.py:183-187).
+    Returns (dist (B,), converged (B,)).
+    """
+    def with_sentinel(b, d, m):
+        empty = ~jnp.any(m, axis=-1)
+        b = jnp.where(empty[:, None], 0.0, b)
+        d = jnp.where(empty[:, None], 0.0, d)
+        m = m.at[:, 0].set(m[:, 0] | empty)
+        return b, d, m
+
+    b1, d1, m1 = with_sentinel(b1, d1, m1)
+    b2, d2, m2 = with_sentinel(b2, d2, m2)
+    D = build_cost_matrix(b1, d1, m1, b2, d2, m2)
+    cost, _, done = auction_solve(D, n_phases=n_phases,
+                                  iters_per_phase=iters_per_phase)
+    return cost, done
+
+
+@partial(jax.jit, static_argnames=("iters",))
+def sinkhorn_cost(D, eps_rel: float = 1e-3, iters: int = 200):
+    """Entropic OT cost on the persim cost matrix (approximate fast path).
+
+    Log-domain Sinkhorn with uniform marginals over the augmented matrix;
+    returns the transport cost <P, D> (no entropy term).
+    """
+    B, S, _ = D.shape
+    scale = jnp.maximum(jnp.max(jnp.where(D < 1e8, D, 0.0), axis=(1, 2)), 1e-9)
+    eps = (eps_rel * scale)[:, None, None]
+    logK = -jnp.where(D < 1e8, D, 1e3 * scale[:, None, None]) / eps
+    f = jnp.zeros((B, S, 1))
+    g = jnp.zeros((B, 1, S))
+
+    def body(i, fg):
+        f, g = fg
+        f = -jax.nn.logsumexp(logK + g, axis=2, keepdims=True)
+        g = -jax.nn.logsumexp(logK + f, axis=1, keepdims=True)
+        return f, g
+
+    f, g = jax.lax.fori_loop(0, iters, body, (f, g))
+    logP = logK + f + g
+    P = jnp.exp(logP)
+    cost = jnp.sum(P * jnp.where(D < 1e8, D, 0.0), axis=(1, 2)) * S
+    return cost

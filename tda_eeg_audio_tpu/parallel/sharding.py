@@ -1,0 +1,111 @@
+"""Multi-chip scaling: mesh construction + sharded study step.
+
+The reference's only parallelism is process-level data parallelism over
+recordings plus filesystem-mediated shard merging (SURVEY §2.3;
+reference scripts/tda_eeg_classification_v2.py:54-60,569-576,608-668).
+Here the unit of parallelism is the same — (recording × band × window) — but
+expressed as a `jax.sharding.Mesh` SPMD program:
+
+  * axis "dp": data parallel over recordings (multi-host scaling rides DCN);
+  * axis "wp": window parallel — a recording's windows are independent after
+    filtering, so long recordings shard across chips (the sequence-parallel
+    analogue; SURVEY §2.3 "window-axis sharding");
+  * collectives: a single all_gather of per-shard feature rows and psum-style
+    reductions for the statistics stage — both ride ICI.
+
+The reference's BATCH_START/BATCH_END + partial-merge contract becomes the
+deterministic shard layout of this mesh; "merge" is the all_gather.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, PartitionSpec as P
+from jax import shard_map
+
+from ..config import PipelineConfig, DEFAULT_CONFIG
+
+
+def make_mesh(n_devices: int | None = None, dp: int | None = None,
+              wp: int | None = None) -> Mesh:
+    """1-or-2-axis mesh over available devices: ("dp", "wp")."""
+    devs = np.array(jax.devices()[: n_devices or len(jax.devices())])
+    n = len(devs)
+    if dp is None or wp is None:
+        wp = 2 if n % 2 == 0 and n > 1 else 1
+        dp = n // wp
+    assert dp * wp == n, (dp, wp, n)
+    return Mesh(devs.reshape(dp, wp), ("dp", "wp"))
+
+
+def sharded_feature_step(mesh: Mesh, cfg: PipelineConfig = DEFAULT_CONFIG,
+                         n_win_max: int = 24, tda_chunk: int = 32):
+    """Full study step sharded over (dp recordings × wp windows).
+
+    Returns a jitted fn (eeg (B, 47, T), n_samples (B,), use_mask (B, 5, W))
+    → per-recording feature rows (B, 5, 2, 11, 2), with windows computed
+    redundantly per wp shard on the cheap filter stage and the expensive TDA
+    stage split over "wp", then all_gathered.
+    """
+    from ..models.programs import eeg_distance_program, window_tda_features
+    from ..ops.features import aggregate_mean_std
+
+    wp_size = mesh.shape["wp"]
+    assert n_win_max % wp_size == 0, "n_win_max must divide the wp axis"
+    w_local = n_win_max // wp_size
+
+    def step(eeg, n_samples, use_mask):
+        # local shapes: eeg (B/dp, 47, T) — replicated over wp
+        dist, _, wmask = eeg_distance_program(eeg, n_samples, cfg, n_win_max)
+        B, nb, W, n, _ = dist.shape
+        wp_idx = jax.lax.axis_index("wp")
+        local = jax.lax.dynamic_slice_in_dim(dist, wp_idx * w_local, w_local, 2)
+        flat = local.reshape(B * nb * w_local, n, n)
+        feats = []
+        for c in range(0, flat.shape[0], tda_chunk):
+            blk = jax.lax.dynamic_slice_in_dim(
+                flat, c, min(tda_chunk, flat.shape[0] - c), 0)
+            if blk.shape[0] < tda_chunk:
+                blk = jnp.concatenate(
+                    [blk, jnp.tile(blk[-1:], (tda_chunk - blk.shape[0], 1, 1))])
+            f, _ = window_tda_features(blk, thresh=cfg.max_edge_length)
+            feats.append(f)
+        f = jnp.concatenate(feats)[: B * nb * w_local]
+        f = f.reshape(B, nb, w_local, 22)
+        # gather the window axis back from the wp shards (ICI all_gather)
+        f_all = jax.lax.all_gather(f, "wp", axis=2, tiled=True)  # (B, nb, W, 22)
+        use = use_mask & wmask[:, None, :]
+        agg = aggregate_mean_std(f_all, use)                     # (B, nb, 22, 2)
+        return agg.reshape(B, nb, 2, 11, 2)
+
+    smapped = shard_map(
+        step, mesh=mesh,
+        in_specs=(P("dp", None, None), P("dp"), P("dp", None, None)),
+        out_specs=P("dp"),
+        check_vma=False,
+    )
+    return jax.jit(smapped)
+
+
+def sharded_stats_step(mesh: Mesh):
+    """Device-sharded statistics reduction: per-band Wilcoxon over subject
+    deltas replicated from dp-sharded per-recording Wasserstein means.
+
+    Demonstrates the psum/all_gather reduction path of the stats stage.
+    """
+    from ..ops.stats import wilcoxon, bh_fdr
+
+    def step(w_h1_delta):  # (S_local, bands) subject deltas, dp-sharded
+        full = jax.lax.all_gather(w_h1_delta, "dp", axis=0, tiled=True)
+        d = full.T[:, :]                      # (bands, S)
+        _, p = wilcoxon(d, jnp.ones_like(d, dtype=bool))
+        reject, p_adj = bh_fdr(p[None, :], 0.05)
+        return jnp.stack([p, p_adj[0]], -1)   # replicated result
+
+    smapped = shard_map(step, mesh=mesh, in_specs=(P("dp", None),),
+                        out_specs=P(), check_vma=False)
+    return jax.jit(smapped)

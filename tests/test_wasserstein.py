@@ -1,0 +1,110 @@
+"""Device auction Wasserstein vs the exact host Hungarian oracle."""
+import numpy as np
+import pytest
+import jax.numpy as jnp
+
+from tda_eeg_audio_tpu.ops.wasserstein import (
+    build_cost_matrix, auction_solve, wasserstein_pairs, sinkhorn_cost,
+)
+from tda_eeg_audio_tpu.oracle.wasserstein_ref import wasserstein, safe_wasserstein
+
+
+def _pad(dgm, K):
+    b = np.zeros(K, np.float32); d = np.zeros(K, np.float32)
+    m = np.zeros(K, bool)
+    b[:len(dgm)] = dgm[:, 0]; d[:len(dgm)] = dgm[:, 1]; m[:len(dgm)] = True
+    return b, d, m
+
+
+def _rand_dgm(rng, k, scale=1.0):
+    b = np.sort(rng.random(k)).astype(np.float64) * scale
+    p = rng.random(k) * 0.5 * scale
+    return np.stack([b, b + p], 1)
+
+
+@pytest.mark.parametrize("sizes", [(5, 7), (1, 1), (12, 3), (20, 20)])
+def test_auction_matches_hungarian(sizes):
+    rng = np.random.default_rng(sum(sizes))
+    K = 24
+    B = 8
+    bs1, ds1, ms1, bs2, ds2, ms2, refs = [], [], [], [], [], [], []
+    for i in range(B):
+        g1 = _rand_dgm(rng, sizes[0])
+        g2 = _rand_dgm(rng, sizes[1], scale=rng.uniform(0.5, 2.0))
+        refs.append(wasserstein(g1, g2))
+        for store, val in zip((bs1, ds1, ms1), _pad(g1.astype(np.float32), K)):
+            store.append(val)
+        for store, val in zip((bs2, ds2, ms2), _pad(g2.astype(np.float32), K)):
+            store.append(val)
+    dist, done = wasserstein_pairs(
+        jnp.asarray(np.stack(bs1)), jnp.asarray(np.stack(ds1)), jnp.asarray(np.stack(ms1)),
+        jnp.asarray(np.stack(bs2)), jnp.asarray(np.stack(ds2)), jnp.asarray(np.stack(ms2)))
+    dist = np.array(dist)
+    assert np.array(done).all(), "auction did not converge"
+    np.testing.assert_allclose(dist, refs, rtol=2e-4, atol=2e-4)
+
+
+def test_identical_diagrams_zero():
+    rng = np.random.default_rng(0)
+    g = _rand_dgm(rng, 10)
+    b, d, m = _pad(g.astype(np.float32), 16)
+    dist, done = wasserstein_pairs(*(jnp.asarray(x[None]) for x in (b, d, m)),
+                                   *(jnp.asarray(x[None]) for x in (b, d, m)))
+    assert np.array(done).all()
+    assert abs(float(np.array(dist)[0])) < 1e-5
+
+
+def test_empty_diagram_sentinel():
+    """Empty diagram → [[0,0]] sentinel (reference safe_wasserstein)."""
+    rng = np.random.default_rng(1)
+    g = _rand_dgm(rng, 6)
+    ref = safe_wasserstein(g, np.zeros((0, 2)))
+    b1, d1, m1 = _pad(g.astype(np.float32), 8)
+    b2 = np.zeros(8, np.float32); d2 = np.zeros(8, np.float32); m2 = np.zeros(8, bool)
+    dist, done = wasserstein_pairs(
+        *(jnp.asarray(x[None]) for x in (b1, d1, m1)),
+        *(jnp.asarray(x[None]) for x in (b2, d2, m2)))
+    assert np.array(done).all()
+    np.testing.assert_allclose(float(np.array(dist)[0]), ref, rtol=2e-4, atol=2e-4)
+
+
+def test_h0_style_diagrams():
+    """All births 0 (H0 diagrams): EEG 46 deaths vs audio ~30 deaths."""
+    rng = np.random.default_rng(2)
+    g1 = np.stack([np.zeros(46), np.sort(rng.random(46)) * 1.4], 1)
+    g2 = np.stack([np.zeros(30), np.sort(rng.random(30)) * 1.2], 1)
+    ref = wasserstein(g1, g2)
+    K = 64
+    dist, done = wasserstein_pairs(
+        *(jnp.asarray(x[None]) for x in _pad(g1.astype(np.float32), K)),
+        *(jnp.asarray(x[None]) for x in _pad(g2.astype(np.float32), K)))
+    assert np.array(done).all()
+    np.testing.assert_allclose(float(np.array(dist)[0]), ref, rtol=5e-4, atol=5e-4)
+
+
+def test_infinite_bars_must_be_premasked():
+    """Caller drops non-finite bars (reference cleanup) — masked bars ignored."""
+    rng = np.random.default_rng(3)
+    g = _rand_dgm(rng, 5)
+    b, d, m = _pad(g.astype(np.float32), 8)
+    d2 = d.copy(); d2[6] = np.inf  # masked-out anyway
+    dist_a, _ = wasserstein_pairs(*(jnp.asarray(x[None]) for x in (b, d, m)),
+                                  *(jnp.asarray(x[None]) for x in (b, d, m)))
+    dist_b, _ = wasserstein_pairs(*(jnp.asarray(x[None]) for x in (b, d2, m)),
+                                  *(jnp.asarray(x[None]) for x in (b, d, m)))
+    np.testing.assert_allclose(np.array(dist_a), np.array(dist_b), atol=1e-6)
+
+
+def test_sinkhorn_close_to_exact():
+    rng = np.random.default_rng(4)
+    g1 = _rand_dgm(rng, 8)
+    g2 = _rand_dgm(rng, 9)
+    ref = wasserstein(g1, g2)
+    K = 16
+    b1, d1, m1 = _pad(g1.astype(np.float32), K)
+    b2, d2, m2 = _pad(g2.astype(np.float32), K)
+    D = build_cost_matrix(jnp.asarray(b1[None]), jnp.asarray(d1[None]),
+                          jnp.asarray(m1[None]), jnp.asarray(b2[None]),
+                          jnp.asarray(d2[None]), jnp.asarray(m2[None]))
+    approx = float(np.array(sinkhorn_cost(D, eps_rel=5e-4, iters=500))[0])
+    assert abs(approx - ref) / ref < 0.05, (approx, ref)
