@@ -87,7 +87,7 @@ class PipelineConfig:
 
     # TPU execution
     homology_backend: Literal["device", "host"] = "device"
-    wasserstein_backend: Literal["auction", "sinkhorn", "host"] = "auction"
+    wasserstein_backend: Literal["host_exact", "sinkhorn"] = "host_exact"
     compute_dtype: str = "float32"
 
     @property

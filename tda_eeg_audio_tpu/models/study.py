@@ -25,7 +25,6 @@ import jax.numpy as jnp
 
 from ..config import PipelineConfig, DEFAULT_CONFIG, FREQ_BANDS, GOOD_ELECTRODES
 from . import programs, classify, homology_exec
-from ..ops.wasserstein import wasserstein_pairs
 from ..ops import stats as dstats
 
 BAND_NAMES = list(FREQ_BANDS)
@@ -262,24 +261,31 @@ class StudyRunner:
         w_h1[~pair_mask] = np.nan
         return w_h0, w_h1
 
-    def _wass_chunks(self, b1, d1, m1, b2, d2, m2, chunk: int = 512):
-        out = np.zeros(len(b1), np.float32)
-        for c in range(0, len(b1), chunk):
-            e = min(c + chunk, len(b1))
-            pad = chunk - (e - c)
-            def pp(x):
-                x = x[c:e]
-                if pad:
-                    x = np.concatenate([x, np.tile(x[-1:], (pad, 1))])
-                return jnp.asarray(x)
-            dist, done = wasserstein_pairs(pp(b1), pp(d1), pp(m1),
-                                           pp(b2), pp(d2), pp(m2))
-            out[c:e] = np.array(dist)[: e - c]
-            if not bool(np.array(done).all()):
-                n_bad = int((~np.array(done)[: e - c]).sum())
-                if self.verbose and n_bad:
-                    print(f"  warning: {n_bad} auction non-convergences in chunk")
-        return out
+    def _wass_chunks(self, b1, d1, m1, b2, d2, m2):
+        """Exact persim-semantics Wasserstein via the native JV engine.
+
+        The north-star split (BASELINE.json): Sinkhorn OT on device as the
+        approximate fast path, exact small-size matching on the host for
+        parity — diagrams are tiny, so the host solver is not a bottleneck.
+        """
+        if self.cfg.wasserstein_backend == "sinkhorn":
+            from ..ops.wasserstein import build_cost_matrix, sinkhorn_cost
+            out = np.zeros(len(b1), np.float32)
+            chunk = 512
+            for c in range(0, len(b1), chunk):
+                e = min(c + chunk, len(b1))
+                pad = chunk - (e - c)
+                def pp(x):
+                    x = x[c:e]
+                    if pad:
+                        x = np.concatenate([x, np.tile(x[-1:], (pad, 1))])
+                    return jnp.asarray(x)
+                D = build_cost_matrix(pp(b1), pp(d1), pp(m1),
+                                      pp(b2), pp(d2), pp(m2))
+                out[c:e] = np.array(sinkhorn_cost(D))[: e - c]
+            return out
+        from ..native.engine import wasserstein_batch
+        return wasserstein_batch(b1, d1, m1, b2, d2, m2)
 
     # ---------------- analysis: EEG↔audio comparison ----------------
 

@@ -85,3 +85,47 @@ def rips_persistence_batch(dm: np.ndarray, thresh: float = 2.0,
                 n_essential=h1_ess, h0_deaths=np.where(h0_mask, h0_deaths, np.inf),
                 h0_mask=h0_mask, n_tree=(n - h0_ess).astype(np.int32),
                 overflow=np.zeros(B, bool))
+
+
+def wasserstein_batch(b1: np.ndarray, d1: np.ndarray, m1: np.ndarray,
+                      b2: np.ndarray, d2: np.ndarray, m2: np.ndarray,
+                      n_threads: int | None = None) -> np.ndarray:
+    """Exact persim-semantics Wasserstein for batched padded diagram pairs.
+
+    Masks select finite bars; valid bars must be a prefix or are compacted
+    here.  Empty diagrams use the (0,0) sentinel (reference safe_wasserstein).
+    """
+    lib = _lib()
+    if not hasattr(lib, "_wass_ready"):
+        lib.wasserstein_batch.argtypes = [
+            ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_float),
+            ctypes.POINTER(ctypes.c_int), ctypes.c_int,
+            ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_float),
+            ctypes.POINTER(ctypes.c_int), ctypes.c_int,
+            ctypes.c_int, ctypes.c_int, ctypes.POINTER(ctypes.c_float),
+        ]
+        lib.wasserstein_batch.restype = None
+        lib._wass_ready = True
+
+    def compact(b, d, m):
+        B, K = b.shape
+        order = np.argsort(~m, axis=1, kind="stable")
+        bs = np.take_along_axis(b, order, 1).astype(np.float32)
+        ds = np.take_along_axis(d, order, 1).astype(np.float32)
+        counts = m.sum(1).astype(np.int32)
+        return np.ascontiguousarray(bs), np.ascontiguousarray(ds), counts
+
+    b1c, d1c, c1 = compact(b1, d1, m1)
+    b2c, d2c, c2 = compact(b2, d2, m2)
+    B = len(b1c)
+    out = np.zeros(B, np.float32)
+    if n_threads is None:
+        n_threads = min(os.cpu_count() or 1, 16)
+    fp = ctypes.POINTER(ctypes.c_float)
+    ip = ctypes.POINTER(ctypes.c_int)
+    lib.wasserstein_batch(
+        b1c.ctypes.data_as(fp), d1c.ctypes.data_as(fp), c1.ctypes.data_as(ip),
+        b1c.shape[1], b2c.ctypes.data_as(fp), d2c.ctypes.data_as(fp),
+        c2.ctypes.data_as(ip), b2c.shape[1], B, n_threads,
+        out.ctypes.data_as(fp))
+    return out

@@ -212,3 +212,103 @@ void rips_persistence_batch(const float* dm, int n_windows, int n,
 }
 
 }  // extern "C"
+
+// ───────────────────────────────────────────────────────────────────────────
+// Exact diagram Wasserstein (persim semantics) via Jonker–Volgenant LAP.
+// The reference uses persim's Hungarian matching (scripts/utils.py:180-191);
+// this native solver reproduces it exactly: L∞ ground metric, own-diagonal
+// cost (death−birth)/2, max-of-matrix blocking, zero diagonal↔diagonal block.
+// ───────────────────────────────────────────────────────────────────────────
+
+namespace {
+
+// Jonker–Volgenant shortest augmenting path, square cost matrix n×n.
+double lap_jv(int n, const std::vector<double>& cost) {
+  const double INF = 1e18;
+  std::vector<double> u(n + 1, 0.0), v(n + 1, 0.0);
+  std::vector<int> p(n + 1, 0), way(n + 1, 0);
+  for (int i = 1; i <= n; ++i) {
+    p[0] = i;
+    int j0 = 0;
+    std::vector<double> minv(n + 1, INF);
+    std::vector<char> used(n + 1, 0);
+    do {
+      used[j0] = 1;
+      int i0 = p[j0], j1 = -1;
+      double delta = INF;
+      for (int j = 1; j <= n; ++j) {
+        if (used[j]) continue;
+        double cur = cost[(i0 - 1) * n + (j - 1)] - u[i0] - v[j];
+        if (cur < minv[j]) { minv[j] = cur; way[j] = j0; }
+        if (minv[j] < delta) { delta = minv[j]; j1 = j; }
+      }
+      for (int j = 0; j <= n; ++j) {
+        if (used[j]) { u[p[j]] += delta; v[j] -= delta; }
+        else minv[j] -= delta;
+      }
+      j0 = j1;
+    } while (p[j0] != 0);
+    do { int j1 = way[j0]; p[j0] = p[j1]; j0 = j1; } while (j0);
+  }
+  double total = 0.0;
+  for (int j = 1; j <= n; ++j)
+    total += cost[(p[j] - 1) * n + (j - 1)];
+  return total;
+}
+
+double persim_wasserstein_one(const float* b1, const float* d1, int m,
+                              const float* b2, const float* d2, int nn) {
+  // sentinel for empty diagrams handled by caller (pass one (0,0) point)
+  const int S = m + nn;
+  std::vector<double> D((size_t)S * S, 0.0);
+  double mx = 0.0;
+  for (int i = 0; i < m; ++i)
+    for (int j = 0; j < nn; ++j) {
+      double c = std::max(std::fabs((double)b1[i] - b2[j]),
+                          std::fabs((double)d1[i] - d2[j]));
+      D[(size_t)i * S + j] = c;
+      mx = std::max(mx, c);
+    }
+  for (int i = 0; i < m; ++i)
+    for (int j = 0; j < m; ++j)
+      D[(size_t)i * S + nn + j] = (i == j) ? 0.5 * ((double)d1[i] - b1[i]) : mx;
+  for (int i = 0; i < nn; ++i)
+    for (int j = 0; j < nn; ++j)
+      D[(size_t)(m + i) * S + j] = (i == j) ? 0.5 * ((double)d2[i] - b2[i]) : mx;
+  // lower-right block stays 0
+  return lap_jv(S, D);
+}
+
+}  // namespace
+
+extern "C" {
+
+// Batched persim Wasserstein. Diagrams padded to (K1/K2); counts give valid
+// prefix lengths (callers pre-drop non-finite bars; empty → caller passes
+// count 0 and we use the (0,0) sentinel like reference safe_wasserstein).
+void wasserstein_batch(const float* b1, const float* d1, const int* c1, int K1,
+                       const float* b2, const float* d2, const int* c2, int K2,
+                       int n_pairs, int n_threads, float* out) {
+  std::atomic<int> next(0);
+  auto worker = [&]() {
+    std::vector<float> zb(1, 0.0f), zd(1, 0.0f);
+    for (;;) {
+      int w = next.fetch_add(1);
+      if (w >= n_pairs) return;
+      const float* B1 = b1 + (size_t)w * K1;
+      const float* D1 = d1 + (size_t)w * K1;
+      const float* B2 = b2 + (size_t)w * K2;
+      const float* D2 = d2 + (size_t)w * K2;
+      int m = c1[w], nn = c2[w];
+      if (m == 0) { B1 = zb.data(); D1 = zd.data(); m = 1; }
+      if (nn == 0) { B2 = zb.data(); D2 = zd.data(); nn = 1; }
+      out[w] = (float)persim_wasserstein_one(B1, D1, m, B2, D2, nn);
+    }
+  };
+  std::vector<std::thread> ts;
+  int nt = std::max(n_threads, 1);
+  for (int t = 0; t < nt; ++t) ts.emplace_back(worker);
+  for (auto& t : ts) t.join();
+}
+
+}  // extern "C"

@@ -139,8 +139,108 @@ def auction_solve(D, n_phases: int = 10, iters_per_phase: int = 384):
     return cost, row_col, done
 
 
-def wasserstein_pairs(b1, d1, m1, b2, d2, m2, n_phases: int = 10,
-                      iters_per_phase: int = 384):
+@partial(jax.jit, static_argnames=("n_phases", "iters_per_phase"))
+def auction_reduced(dul, diag1, diag2, m1, m2, n_phases: int = 7,
+                    iters_per_phase: int = 192):
+    """Diagram matching via auction on the REDUCED problem.
+
+    Instead of persim's (M+N)² matrix — whose interchangeable helper/slot
+    rows create massive cost ties and O(S)-iteration price wars — solve the
+    equivalent node-penalty matching: rows = side-1 points bidding for
+    side-2 points (cost DUL_ij − diag2_j) or their private diagonal skip
+    (cost diag1_i, uncontested), plus the constant Σ_j diag2_j.  Identical
+    optimum whenever the optimal persim matching projects points only onto
+    their own diagonals (always the case for persistence diagrams in
+    practice; the Hungarian oracle in tests guards this).
+
+    dul: (B, K1, K2); diag1 (B, K1); diag2 (B, K2); masks m1/m2.
+    Returns (cost (B,), converged (B,)).
+    """
+    B, K1, K2 = dul.shape
+    inf_ = jnp.float32(3e38)
+    cost = jnp.where(m1[:, :, None] & m2[:, None, :],
+                     dul - diag2[:, None, :], inf_)
+    a = -cost                                  # profit of taking object j
+    a_skip = -jnp.where(m1, diag1, 0.0)        # private skip profit
+    scale = jnp.maximum(
+        jnp.max(jnp.where(m1[:, :, None] & m2[:, None, :], jnp.abs(dul), 0.0),
+                axis=(1, 2)),
+        jnp.maximum(jnp.max(jnp.where(m1, diag1, 0.0), -1),
+                    jnp.max(jnp.where(m2, diag2, 0.0), -1)))
+    scale = jnp.maximum(scale, 1e-6)
+    eps_final = 1e-7 * scale
+    cj = jnp.arange(K2)
+
+    def phase(carry, k):
+        prices, _, _, _ = carry
+        kf = k.astype(jnp.float32)
+        eps = jnp.maximum(scale * 0.25 / (6.0 ** kf), eps_final)
+        # roll back the previous phase's +ε overshoot: with an outside option,
+        # stale inflated prices would make rows skip and strand objects
+        eps_prev = jnp.maximum(scale * 0.25 / (6.0 ** jnp.maximum(kf - 1, 0.0)),
+                               eps_final)
+        prices = jnp.where(k > 0,
+                           jnp.maximum(prices - eps_prev[:, None], 0.0), prices)
+        row_obj = jnp.full((B, K1), -1, jnp.int32)   # -2 = skip
+        obj_row = jnp.full((B, K2), -1, jnp.int32)
+
+        def cond(s):
+            row_obj, obj_row, prices, it = s
+            return jnp.any((row_obj == -1) & m1) & (it < iters_per_phase)
+
+        def body(s):
+            row_obj, obj_row, prices, it = s
+            unass = (row_obj == -1) & m1
+            v = a - prices[:, None, :]                       # (B, K1, K2)
+            best = jnp.max(v, axis=-1)
+            jstar = jnp.argmax(v, axis=-1).astype(jnp.int32)
+            v2 = jnp.where(cj[None, None, :] == jstar[:, :, None], -inf_, v)
+            second = jnp.maximum(jnp.max(v2, axis=-1), a_skip)
+            take_skip = a_skip >= best
+            # settle skips permanently
+            row_obj = jnp.where(unass & take_skip, -2, row_obj)
+            bid = best - second + eps[:, None]
+            bidding = unass & ~take_skip
+            bid_mat = jnp.where(
+                bidding[:, :, None] & (cj[None, None, :] == jstar[:, :, None]),
+                bid[:, :, None], -inf_)
+            win_bid = jnp.max(bid_mat, axis=1)
+            win_row = jnp.argmax(bid_mat, axis=1).astype(jnp.int32)
+            touched = win_bid > -inf_ / 2
+            prices = jnp.where(touched, prices + win_bid, prices)
+            prev = jnp.where(touched, obj_row, -1)
+            row_obj = row_obj.at[jnp.arange(B)[:, None],
+                                 jnp.where(prev >= 0, prev, K1)].set(
+                -1, mode="drop")
+            obj_row = jnp.where(touched, win_row, obj_row)
+            row_obj = row_obj.at[jnp.arange(B)[:, None],
+                                 jnp.where(touched, win_row, K1)].set(
+                jnp.broadcast_to(cj[None, :], (B, K2)).astype(jnp.int32),
+                mode="drop")
+            return row_obj, obj_row, prices, it + 1
+
+        row_obj, obj_row, prices, it = jax.lax.while_loop(
+            cond, body, (row_obj, obj_row, prices, jnp.int32(0)))
+        done = ~jnp.any((row_obj == -1) & m1, axis=-1)
+        return (prices, row_obj, obj_row, done), None
+
+    prices0 = jnp.zeros((B, K2), jnp.float32)
+    (prices, row_obj, obj_row, done), _ = jax.lax.scan(
+        phase, (prices0, jnp.full((B, K1), -1, jnp.int32),
+                jnp.full((B, K2), -1, jnp.int32), jnp.zeros((B,), bool)),
+        jnp.arange(n_phases))
+    matched = row_obj >= 0
+    obj_safe = jnp.maximum(row_obj, 0)
+    c_match = jnp.take_along_axis(cost, obj_safe[:, :, None], axis=-1)[:, :, 0]
+    total = (jnp.sum(jnp.where(matched & m1, c_match, 0.0), axis=-1)
+             + jnp.sum(jnp.where((row_obj == -2) & m1,
+                                 jnp.where(m1, diag1, 0.0), 0.0), axis=-1)
+             + jnp.sum(jnp.where(m2, diag2, 0.0), axis=-1))
+    return total, done
+
+
+def wasserstein_pairs(b1, d1, m1, b2, d2, m2, n_phases: int = 7,
+                      iters_per_phase: int = 192):
     """persim-style Wasserstein for batched padded diagram pairs.
 
     Masks must select FINITE bars only (reference safe_wasserstein drops
@@ -157,9 +257,11 @@ def wasserstein_pairs(b1, d1, m1, b2, d2, m2, n_phases: int = 10,
 
     b1, d1, m1 = with_sentinel(b1, d1, m1)
     b2, d2, m2 = with_sentinel(b2, d2, m2)
-    D = build_cost_matrix(b1, d1, m1, b2, d2, m2)
-    cost, _, done = auction_solve(D, n_phases=n_phases,
-                                  iters_per_phase=iters_per_phase)
+    dul = jnp.maximum(jnp.abs(b1[:, :, None] - b2[:, None, :]),
+                      jnp.abs(d1[:, :, None] - d2[:, None, :]))
+    cost, done = auction_reduced(dul, 0.5 * (d1 - b1), 0.5 * (d2 - b2),
+                                 m1, m2, n_phases=n_phases,
+                                 iters_per_phase=iters_per_phase)
     return cost, done
 
 
@@ -186,5 +288,6 @@ def sinkhorn_cost(D, eps_rel: float = 1e-3, iters: int = 200):
     f, g = jax.lax.fori_loop(0, iters, body, (f, g))
     logP = logK + f + g
     P = jnp.exp(logP)
-    cost = jnp.sum(P * jnp.where(D < 1e8, D, 0.0), axis=(1, 2)) * S
+    # row-normalized updates give each row unit mass: <P, D> IS the matching cost
+    cost = jnp.sum(P * jnp.where(D < 1e8, D, 0.0), axis=(1, 2))
     return cost
