@@ -1,12 +1,21 @@
 """CLI mirroring the reference entry points (SURVEY §7 item 9).
 
 Commands map to the reference scripts:
-  features  — feature export       (scripts/tda_eeg_classification_v2.py front half)
-  classify  — classification       (scripts/classification_rerun.py)
-  compare   — EEG↔audio comparison (scripts/tda_eeg_audio_comparison.py)
-  control   — matched/mismatched   (scripts/matched_vs_mismatched.py)
-  study     — all of the above
+  preprocess — banded windows      (notebooks/1_preprocesamiento.ipynb cell 3)
+  graphs     — distance matrices   (notebooks/2_graph_construction.ipynb cell 8)
+  features   — feature export      (scripts/tda_eeg_classification_v2.py front half)
+  classify   — classification      (scripts/classification_rerun.py)
+  ablate     — per-band ablation   (results/gamma_investigation.json generator)
+  compare    — EEG↔audio comparison (scripts/tda_eeg_audio_comparison.py)
+  control    — matched/mismatched  (scripts/matched_vs_mismatched.py)
+  eda        — dataset inventory/PSD (notebooks/0_eda.ipynb)
+  study      — features+classify+compare+control
 Artifacts use the reference's JSON/CSV schemas for drop-in diffing.
+
+Batch sharding (reference tda_eeg_classification_v2.py:54-60,608-668): the
+env vars BATCH_START / BATCH_END / WRITE_PARTIAL / MERGE_PARTIALS — or the
+equivalent flags — shard the features stage across independent invocations
+with .npz partials merged by `--merge-partials`.
 """
 
 from __future__ import annotations
@@ -43,14 +52,19 @@ def _build_runner(args):
 
 
 def main(argv=None) -> int:
+    import os
+
     ap = argparse.ArgumentParser(prog="tda-eeg-audio-tpu")
-    ap.add_argument("command", choices=["features", "classify", "compare",
-                                        "control", "study"])
+    ap.add_argument("command", choices=["preprocess", "graphs", "features",
+                                        "classify", "ablate", "compare",
+                                        "control", "eda", "study"])
     ap.add_argument("--data", default=None,
                     help=".mat data root (data/slow, data/fast); default: synthetic")
     ap.add_argument("--subjects", type=int, default=45)
     ap.add_argument("--per-subject", type=int, default=16)
     ap.add_argument("--results", default="results")
+    ap.add_argument("--out", default=None,
+                    help="artifact dir for preprocess/graphs stages")
     ap.add_argument("--batch", type=int, default=16)
     ap.add_argument("--chunk", type=int, default=256)
     ap.add_argument("--device", choices=["tpu", "cpu"], default="tpu")
@@ -58,22 +72,81 @@ def main(argv=None) -> int:
                     help="homology backend (default: device kernel)")
     ap.add_argument("--permutations", type=int, default=None)
     ap.add_argument("--bootstrap", type=int, default=None)
+    # job-level sharding (reference BATCH_START/BATCH_END/WRITE_PARTIAL/
+    # MERGE_PARTIALS env vars, tda_eeg_classification_v2.py:54-60,608-668)
+    ap.add_argument("--batch-start", type=int,
+                    default=int(os.environ.get("BATCH_START", -1)))
+    ap.add_argument("--batch-end", type=int,
+                    default=int(os.environ.get("BATCH_END", -1)))
+    ap.add_argument("--write-partial", action="store_true",
+                    default=os.environ.get("WRITE_PARTIAL", "0") == "1")
+    ap.add_argument("--merge-partials", action="store_true",
+                    default=os.environ.get("MERGE_PARTIALS", "0") == "1")
     args = ap.parse_args(argv)
 
     runner = _build_runner(args)
     out_dir = Path(args.results)
     out_dir.mkdir(parents=True, exist_ok=True)
 
+    if args.command == "preprocess":
+        rows = runner.write_preprocessed(args.out or "preprocessed")
+        print(f"preprocess: {len(rows)} recordings → {args.out or 'preprocessed'}")
+        return 0
+    if args.command == "graphs":
+        n = runner.write_graphs(args.out or "graphs")
+        print(f"graphs: {n} recordings → {args.out or 'graphs'}")
+        return 0
+    if args.command == "eda":
+        from .models.eda import run_eda
+
+        out = run_eda(runner.ds, runner.cfg, results_dir=out_dir,
+                      eeg_batch=args.batch)
+        print(f"eda: {out['n_recordings']} recordings, "
+              f"{out['n_subjects']} subjects → eda_summary.json")
+        return 0
+    if args.command == "features" and args.merge_partials:
+        _merge_partials(out_dir)
+        return 0
+
     if args.command in ("features", "study"):
-        X, y, subjects, filenames, meta = runner.compute_feature_dataset()
+        bs = args.batch_start if args.batch_start >= 0 else None
+        be = args.batch_end if args.batch_end >= 0 else None
+        X, y, subjects, filenames, meta = runner.compute_feature_dataset(
+            batch_start=bs, batch_end=be)
+        from .models.classify import feature_names_220
+
+        if args.write_partial:
+            pdir = out_dir / "partials"
+            pdir.mkdir(parents=True, exist_ok=True)
+            np.savez(pdir / f"batch_{bs or 0}_{be if be is not None else len(X)}.npz",
+                     X=X, y=y, subjects=subjects,
+                     filenames=np.array(filenames),
+                     feature_names=np.array(feature_names_220()))
+            print(f"partial: {X.shape[0]} rows → {pdir}")
+            return 0
         np.save(out_dir / "X.npy", X)
         np.save(out_dir / "y.npy", y)
         np.save(out_dir / "subjects.npy", subjects)
         (out_dir / "feature_names.txt").write_text(
-            "\n".join(__import__("tda_eeg_audio_tpu.models.classify",
-                                 fromlist=["feature_names_220"]).feature_names_220()) + "\n")
+            "\n".join(feature_names_220()) + "\n")
         (out_dir / "filenames.txt").write_text("\n".join(filenames) + "\n")
         print(f"features: X {X.shape} → {out_dir}")
+    if args.command == "ablate":
+        from .models import classify as cls
+
+        if (out_dir / "X.npy").exists():
+            X = np.load(out_dir / "X.npy")
+            y = np.load(out_dir / "y.npy")
+            subjects = np.load(out_dir / "subjects.npy", allow_pickle=True)
+        else:
+            X, y, subjects, _, _ = runner.compute_feature_dataset()
+        res = cls.run_band_ablation(X, y, subjects, cls.feature_names_220(),
+                                    runner.cfg)
+        (out_dir / "gamma_investigation.json").write_text(
+            json.dumps(res, indent=2))
+        print(f"ablate: gamma-only {res['gamma_only']['accuracy_mean']:.4f} "
+              f"vs no-gamma {res['without_gamma']['accuracy_mean']:.4f}")
+        return 0
     if args.command in ("classify", "study"):
         if args.command == "classify" and (out_dir / "X.npy").exists():
             from .models import classify as cls
@@ -101,6 +174,35 @@ def main(argv=None) -> int:
                 print(f"control {band}: matched {s['w_matched']:.4f} vs "
                       f"mismatched {s['w_mismatched']:.4f} p_fdr {s['p_fdr']:.4g}")
     return 0
+
+
+def _merge_partials(out_dir: Path) -> None:
+    """Merge features/partials/batch_*.npz into X/y/subjects arrays with a
+    feature-name consistency check (reference
+    tda_eeg_classification_v2.py:608-668)."""
+    pdir = out_dir / "partials"
+    parts = sorted(pdir.glob("batch_*.npz"))
+    if not parts:
+        raise SystemExit(f"no partials under {pdir}")
+    Xs, ys, subjs, fns, names_ref = [], [], [], [], None
+    for p in parts:
+        z = np.load(p, allow_pickle=True)
+        names = list(z["feature_names"])
+        if names_ref is None:
+            names_ref = names
+        elif names != names_ref:
+            raise SystemExit(f"feature-name mismatch in {p.name}")
+        Xs.append(z["X"]); ys.append(z["y"])
+        subjs.append(z["subjects"]); fns.extend(list(z["filenames"]))
+    X = np.vstack(Xs)
+    np.save(out_dir / "X.npy", X)
+    np.save(out_dir / "y.npy", np.concatenate(ys))
+    np.save(out_dir / "subjects.npy", np.concatenate(subjs))
+    (out_dir / "feature_names.txt").write_text(
+        "\n".join(str(n) for n in names_ref) + "\n")
+    (out_dir / "filenames.txt").write_text(
+        "\n".join(str(f) for f in fns) + "\n")
+    print(f"merged {len(parts)} partials → X {X.shape}")
 
 
 if __name__ == "__main__":

@@ -103,12 +103,13 @@ def run_classification(X: np.ndarray, y: np.ndarray, subjects: np.ndarray,
     valid = ~(np.isnan(X).any(1) | np.isinf(X).any(1))
     X, y, subjects = X[valid], y[valid], subjects[valid]
 
+    n_splits = min(cfg.n_splits, len(np.unique(subjects)))
     try:
-        gkf = StratifiedGroupKFold(n_splits=cfg.n_splits, shuffle=True,
+        gkf = StratifiedGroupKFold(n_splits=n_splits, shuffle=True,
                                    random_state=cfg.random_state)
         cv_name = "StratifiedGroupKFold"
     except Exception:
-        gkf = GroupKFold(n_splits=cfg.n_splits)
+        gkf = GroupKFold(n_splits=n_splits)
         cv_name = "GroupKFold"
 
     # subject-leakage audit (reference :803-816)
@@ -131,9 +132,11 @@ def run_classification(X: np.ndarray, y: np.ndarray, subjects: np.ndarray,
     pipe.fit(X, y)
     importances = pipe.named_steps["classifier"].feature_importances_
     band_imp: dict[str, float] = {}
+    dim_imp: dict[str, float] = {}
     for name, imp in zip(feature_names, importances):
-        band = name.split("_")[0]
-        band_imp[band] = band_imp.get(band, 0.0) + float(imp)
+        parts = name.split("_")
+        band_imp[parts[0]] = band_imp.get(parts[0], 0.0) + float(imp)
+        dim_imp[parts[1]] = dim_imp.get(parts[1], 0.0) + float(imp)
 
     # permutation test (reference :953-978)
     observed = cv_scores.mean()
@@ -179,13 +182,62 @@ def run_classification(X: np.ndarray, y: np.ndarray, subjects: np.ndarray,
         "n_fast": int(np.sum(y == 1)),
         "model": "RandomForestClassifier",
         "cv_method": cv_name,
-        "n_splits": cfg.n_splits,
+        "n_splits": n_splits,
         "n_permutations": n_perm,
         "band_importance": {
             b: {"importance": v, "pct": v / max(sum(band_imp.values()), 1e-30) * 100}
             for b, v in band_imp.items()},
+        "dimension_importance": {
+            d: {"importance": v, "pct": v / max(sum(dim_imp.values()), 1e-30) * 100}
+            for d, v in dim_imp.items()},
         "top_features": [
             {"feature": feature_names[i], "importance": float(importances[i])}
             for i in top],
+        "all_importances": {feature_names[i]: float(importances[i])
+                            for i in np.argsort(importances)[::-1]},
         "conclusion": "SIGNIFICANT" if p_value < 0.05 else "NOT SIGNIFICANT",
     }
+
+
+def run_band_ablation(X: np.ndarray, y: np.ndarray, subjects: np.ndarray,
+                      feature_names: list[str],
+                      cfg: PipelineConfig = DEFAULT_CONFIG,
+                      verbose: bool = True) -> dict:
+    """Per-band ablation study → gamma_investigation.json schema.
+
+    The reference ships results/gamma_investigation.json (per-band-only,
+    gamma-only and no-gamma accuracies) without a generating script; this is
+    the missing generator: same pipeline/CV as the main classification,
+    restricted to column subsets of the 220-feature matrix.
+    """
+    from sklearn.model_selection import StratifiedGroupKFold, GroupKFold, \
+        cross_val_score
+
+    valid = ~(np.isnan(X).any(1) | np.isinf(X).any(1))
+    X, y, subjects = X[valid], y[valid], subjects[valid]
+    n_splits = min(cfg.n_splits, len(np.unique(subjects)))
+    try:
+        gkf = StratifiedGroupKFold(n_splits=n_splits, shuffle=True,
+                                   random_state=cfg.random_state)
+    except Exception:
+        gkf = GroupKFold(n_splits=n_splits)
+    names = np.array(feature_names)
+
+    def acc(cols):
+        pipe = make_pipeline(cfg.random_state)
+        sc = cross_val_score(pipe, X[:, cols], y, groups=subjects, cv=gkf,
+                             scoring="accuracy")
+        return {"accuracy_mean": float(sc.mean()), "accuracy_std": float(sc.std()),
+                "n_features": int(len(cols)), "per_fold": sc.tolist()}
+
+    out = {"all_features": acc(np.arange(X.shape[1]))}
+    out["gamma_only"] = acc(np.where(np.char.startswith(names, "gamma_"))[0])
+    out["without_gamma"] = acc(np.where(~np.char.startswith(names, "gamma_"))[0])
+    out["per_band_only"] = {}
+    for band in BAND_NAMES:
+        cols = np.where(np.char.startswith(names, band + "_"))[0]
+        out["per_band_only"][band] = acc(cols)
+        if verbose:
+            print(f"  ablation {band}: "
+                  f"{out['per_band_only'][band]['accuracy_mean']:.4f}")
+    return out

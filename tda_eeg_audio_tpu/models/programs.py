@@ -35,6 +35,35 @@ N_BANDS = len(FREQ_BANDS)
 # ─────────────────────────────────────────────────────────────────────────────
 
 
+def _banded_windows(eeg, n_samples, cfg, n_win_max):
+    """Shared front half: filter bank → 1 s / 75 % sliding windows.
+
+    Returns (wins (B, 5, W, C, win), wmask (B, W))."""
+    if cfg.filter_impl == "iir_scan":
+        # exact Butterworth sosfiltfilt parity path (length-aware)
+        banded = tsig.bandpass_bank_iir_scan(
+            eeg, n_samples[:, None], cfg.fs_eeg, cfg.filter_order)
+    else:
+        bank = jnp.asarray(tsig.design_band_fir_bank(
+            cfg.fs_eeg, cfg.filter_order, cfg.fir_numtaps))
+        banded = tsig.bandpass_bank(eeg, bank)                # (B, C, 5, T)
+    win, step = cfg.win_samples, cfg.step_samples
+    wins = tsig.sliding_windows(banded, n_win_max, win, step)  # (B, C, 5, W, win)
+    wins = jnp.transpose(wins, (0, 2, 3, 1, 4))               # (B, 5, W, C, win)
+    starts = jnp.arange(n_win_max) * step
+    wmask = (starts + win)[None, :] <= n_samples[:, None]     # (B, W)
+    return wins, wmask
+
+
+@partial(jax.jit, static_argnames=("cfg", "n_win_max"))
+def eeg_window_program(eeg: jnp.ndarray, n_samples: jnp.ndarray,
+                       cfg: PipelineConfig = DEFAULT_CONFIG,
+                       n_win_max: int = 89):
+    """(B, 47, T_pad) padded EEG → banded windows (the preprocessed/ stage,
+    reference notebooks/1_preprocesamiento.ipynb cell 3)."""
+    return _banded_windows(eeg, n_samples, cfg, n_win_max)
+
+
 @partial(jax.jit, static_argnames=("cfg", "n_win_max"))
 def eeg_distance_program(eeg: jnp.ndarray, n_samples: jnp.ndarray,
                          cfg: PipelineConfig = DEFAULT_CONFIG,
@@ -45,14 +74,7 @@ def eeg_distance_program(eeg: jnp.ndarray, n_samples: jnp.ndarray,
     Windows are the reference's 1 s / 75 % sliding windows; invalid windows
     (beyond each recording's true length) are masked.
     """
-    bank = jnp.asarray(tsig.design_band_fir_bank(
-        cfg.fs_eeg, cfg.filter_order, cfg.fir_numtaps))
-    banded = tsig.bandpass_bank(eeg, bank)                    # (B, C, 5, T)
-    win, step = cfg.win_samples, cfg.step_samples
-    wins = tsig.sliding_windows(banded, n_win_max, win, step)  # (B, C, 5, W, win)
-    wins = jnp.transpose(wins, (0, 2, 3, 1, 4))               # (B, 5, W, C, win)
-    starts = jnp.arange(n_win_max) * step
-    wmask = (starts + win)[None, :] <= n_samples[:, None]     # (B, W)
+    wins, wmask = _banded_windows(eeg, n_samples, cfg, n_win_max)
     corr = tgeo.correlation_matrix(wins)
     dist = tgeo.correlation_to_distance(corr, cfg.distance_method)
     return dist, corr, wmask
@@ -80,6 +102,59 @@ def window_tda_features(dm: jnp.ndarray, thresh: float = 2.0, na_max: int = 128,
                             fin, out["n_essential"])
     feats = jnp.stack([f_h0, f_h1], axis=1)                   # (B, 2, 11)
     return feats, out
+
+
+@partial(jax.jit, static_argnames=("cfg", "n_win_max", "K", "chunk", "na_max",
+                                   "step_budget"))
+def eeg_feature_program(eeg: jnp.ndarray, n_samples: jnp.ndarray,
+                        use_idx: jnp.ndarray, use_mask: jnp.ndarray,
+                        cfg: PipelineConfig = DEFAULT_CONFIG,
+                        n_win_max: int = 90, K: int = 39, chunk: int = 512,
+                        na_max: int = 128, step_budget: int = 4096):
+    """FUSED features stage: padded EEG → 220-dim aggregate, one device call.
+
+    The whole per-recording pipeline (filter → window-select → corr → dist →
+    exact H0/H1 → 11 features → mean/std aggregation) runs in a single jitted
+    program; only the (B, 5, 2, 11, 2) aggregate leaves the device.  This is
+    the throughput path — on this platform host↔device transfers run at
+    ~10 MB/s with ~40 ms round-trip latency, so the staged path (reference
+    scripts/tda_eeg_classification_v2.py materializes graphs/ then features)
+    is replaced by end-to-end fusion; `write_graphs` still materializes the
+    artifact contract when asked.
+
+    use_idx/use_mask: (B, 5, K) selected window indices per band (the
+    reference's md5-seeded subsample, computed on host from window counts).
+    Homology runs over (B·5·K) windows in lax.map chunks to bound the
+    reduction workspace.
+    """
+    B = eeg.shape[0]
+    wins, wmask = _banded_windows(eeg, n_samples, cfg, n_win_max)
+    # select the K sampled windows per band BEFORE the correlation stage
+    sel = jnp.take_along_axis(
+        wins, use_idx[:, :, :, None, None], axis=2)       # (B, 5, K, C, win)
+    corr = tgeo.correlation_matrix(sel)
+    dist = tgeo.correlation_to_distance(corr, cfg.distance_method)
+    n = dist.shape[-1]
+    flat = dist.reshape(B * N_BANDS * K, n, n)
+    total = flat.shape[0]
+    n_chunks = -(-total // chunk)
+    pad = n_chunks * chunk - total
+    if pad:
+        # pad windows = empty complexes (all edges > thresh) → zero work
+        far = (1.0 - jnp.eye(n)) * (cfg.max_edge_length + 1.0)
+        flat = jnp.concatenate(
+            [flat, jnp.broadcast_to(far, (pad, n, n))], axis=0)
+
+    def do_chunk(dm):
+        f, _ = window_tda_features(dm, thresh=cfg.max_edge_length,
+                                   na_max=na_max, h1_max=na_max,
+                                   step_budget=step_budget)
+        return f
+
+    feats = jax.lax.map(do_chunk, flat.reshape(n_chunks, chunk, n, n))
+    feats = feats.reshape(-1, 2, 11)[:total].reshape(B, N_BANDS, K, 22)
+    agg = aggregate_mean_std(feats, use_mask.reshape(B, N_BANDS, K))
+    return agg.reshape(B, N_BANDS, 2, 11, 2)
 
 
 def recording_features(dist: jnp.ndarray, use_idx: jnp.ndarray,

@@ -88,13 +88,91 @@ class StudyRunner:
             jnp.asarray(eeg), jnp.asarray(ns_e), self.cfg, N_WIN_MAX)
         return dist, wmask, metas
 
+    # ---------------- stage: preprocessed/ artifacts ----------------
+
+    def write_preprocessed(self, out_dir) -> list[dict]:
+        """Materialize the reference's preprocessed/ stage
+        (notebooks/1_preprocesamiento.ipynb cell 3): per recording dir,
+        per-band windowed arrays `{band}.npy` (n_win, 47, 250),
+        `window_times.npy` (window centers, s) and `audio.npy`, plus
+        preprocessing_metadata.csv with the reference's column schema."""
+        out_dir = Path(out_dir)
+        cfg = self.cfg
+        win, step = cfg.win_samples, cfg.step_samples
+        meta_rows = []
+        for b0 in range(0, len(self.ds), self.eeg_batch):
+            idxs = list(range(b0, min(b0 + self.eeg_batch, len(self.ds))))
+            eeg, audio, ns_e, ns_a, metas = self._load_batch(idxs)
+            wins, wmask = programs.eeg_window_program(
+                jnp.asarray(eeg), jnp.asarray(ns_e), cfg, N_WIN_MAX)
+            wins = np.array(wins)            # (B, 5, W, C, win)
+            wmask = np.array(wmask)
+            for bi, m in enumerate(metas):
+                stem = m["filename"].replace(".mat", "")
+                d = out_dir / m["condition"] / stem
+                d.mkdir(parents=True, exist_ok=True)
+                nw = int(wmask[bi].sum())
+                bands_meta = {}
+                for bd, band in enumerate(BAND_NAMES):
+                    arr = wins[bi, bd, :nw]
+                    np.save(d / f"{band}.npy", arr)
+                    bands_meta[band] = dict(
+                        n_windows=nw, window_shape=tuple(arr.shape),
+                        freq_range=tuple(FREQ_BANDS[band]))
+                centers = (np.arange(nw) * step + win / 2) / cfg.fs_eeg
+                np.save(d / "window_times.npy", centers)
+                np.save(d / "audio.npy", audio[bi, : ns_a[bi]])
+                meta_rows.append(dict(
+                    filename=m["filename"], n_electrodes=eeg.shape[1],
+                    n_samples=int(ns_e[bi]),
+                    duration_sec=float(ns_e[bi] / cfg.fs_eeg),
+                    fs_eeg=cfg.fs_eeg, bands=str(bands_meta), n_windows=nw,
+                    condition=m["condition"]))
+        import csv
+        with open(out_dir / "preprocessing_metadata.csv", "w", newline="") as f:
+            wr = csv.DictWriter(f, fieldnames=list(meta_rows[0].keys()))
+            wr.writeheader()
+            wr.writerows(meta_rows)
+        return meta_rows
+
+    # ---------------- stage: graphs/ artifacts ----------------
+
+    def write_graphs(self, out_dir) -> int:
+        """Materialize the reference's graphs/ stage
+        (notebooks/2_graph_construction.ipynb cell 8): per recording dir,
+        `{band}_correlations.npy` and `{band}_distances.npy`
+        (n_windows, 47, 47)."""
+        out_dir = Path(out_dir)
+        n_files = 0
+        for b0 in range(0, len(self.ds), self.eeg_batch):
+            idxs = list(range(b0, min(b0 + self.eeg_batch, len(self.ds))))
+            eeg, _, ns_e, _, metas = self._load_batch(idxs)
+            dist, corr, wmask = programs.eeg_distance_program(
+                jnp.asarray(eeg), jnp.asarray(ns_e), self.cfg, N_WIN_MAX)
+            dist, corr, wmask = np.array(dist), np.array(corr), np.array(wmask)
+            for bi, m in enumerate(metas):
+                stem = m["filename"].replace(".mat", "")
+                d = out_dir / m["condition"] / stem
+                d.mkdir(parents=True, exist_ok=True)
+                nw = int(wmask[bi].sum())
+                for bd, band in enumerate(BAND_NAMES):
+                    np.save(d / f"{band}_correlations.npy", corr[bi, bd, :nw])
+                    np.save(d / f"{band}_distances.npy", dist[bi, bd, :nw])
+                n_files += 1
+        return n_files
+
     # ---------------- stage: classification features ----------------
 
-    def compute_feature_dataset(self, max_windows_per_band=None):
+    def compute_feature_dataset(self, max_windows_per_band=None,
+                                batch_start: int | None = None,
+                                batch_end: int | None = None):
         """X (N, 220), y, subjects, filenames — the features/ stage.
 
         Implements equalize-windows "min" + md5 window sampling exactly
         (reference scripts/tda_eeg_classification_v2.py:445-606).
+        batch_start/batch_end slice the ordered file list for job-level
+        sharding (reference BATCH_START/BATCH_END, :54-60); the "min" window
+        equalization stays global so shards agree.
         """
         cfg = self.cfg
         # window counts per recording (same for all bands)
@@ -133,15 +211,26 @@ class StudyRunner:
                                     else None)
         K = int(max_windows_per_band or max(counts.values()))
 
+        if batch_start is not None or batch_end is not None:
+            all_idx = all_idx[batch_start or 0:batch_end]
+
         t0 = time.time()
+        pending = []          # (future_or_array, idxs) for async device calls
+        done = []
+
+        def drain(limit):
+            while len(pending) > limit:
+                agg, idxs_ = pending.pop(0)
+                done.append((np.asarray(agg)[: len(idxs_)], idxs_))
+
         for b0 in range(0, len(all_idx), self.eeg_batch):
             idxs = all_idx[b0:b0 + self.eeg_batch]
-            dist, wmask, metas = self.eeg_distances(idxs)
             B = len(idxs)
             use_idx = np.zeros((B, N_BANDS, K), np.int32)
             use_mask = np.zeros((B, N_BANDS, K), bool)
             for bi_, i in enumerate(idxs):
-                stem = metas[bi_]["filename"].replace(".mat", "")
+                fn_, subj_, cond_ = self.ds.index[i]
+                stem = fn_.replace(".mat", "")
                 nw = counts[i]
                 for bd, band in enumerate(BAND_NAMES):
                     take = min(K, nw)
@@ -150,27 +239,53 @@ class StudyRunner:
                         cfg.window_sample_seed)
                     use_idx[bi_, bd, :len(sel)] = sel
                     use_mask[bi_, bd, :len(sel)] = True
-            sel = jnp.take_along_axis(
-                dist, jnp.asarray(use_idx)[:, :, :, None, None], axis=2)
-            flat = np.array(sel).reshape(B * N_BANDS * K, 47, 47)
-            tda = homology_exec.run_tda(flat, cfg.max_edge_length,
-                                        self.backend, self.tda_chunk,
-                                        verbose=self.verbose)
-            feats = tda["features"].reshape(B, N_BANDS, K, 22)
-            from ..ops.features import aggregate_mean_std
-            agg = np.array(aggregate_mean_std(
-                jnp.asarray(feats), jnp.asarray(use_mask)))
-            agg = agg.reshape(B, N_BANDS, 2, 11, 2)
+
+            if self.backend == "device":
+                # fused single-call path: nothing big crosses the link, and
+                # dispatch is async — upload of the next batch overlaps the
+                # current batch's compute
+                eeg, _, ns_e, _, metas = self._load_batch(idxs)
+                if B < self.eeg_batch:      # keep one compiled shape
+                    padn = self.eeg_batch - B
+                    eeg = np.concatenate([eeg, np.zeros((padn, *eeg.shape[1:]),
+                                                        eeg.dtype)])
+                    ns_e = np.concatenate([ns_e, np.full(padn, 250)])
+                    use_idx = np.concatenate(
+                        [use_idx, np.zeros((padn, N_BANDS, K), np.int32)])
+                    use_mask = np.concatenate(
+                        [use_mask, np.zeros((padn, N_BANDS, K), bool)])
+                agg_dev = programs.eeg_feature_program(
+                    jnp.asarray(eeg), jnp.asarray(ns_e),
+                    jnp.asarray(use_idx), jnp.asarray(use_mask),
+                    cfg, N_WIN_MAX, K, chunk=self.tda_chunk)
+                pending.append((agg_dev, idxs))
+            else:
+                dist, wmask, metas = self.eeg_distances(idxs)
+                sel = jnp.take_along_axis(
+                    dist, jnp.asarray(use_idx)[:, :, :, None, None], axis=2)
+                flat = np.array(sel).reshape(B * N_BANDS * K, 47, 47)
+                tda = homology_exec.run_tda(flat, cfg.max_edge_length,
+                                            self.backend, self.tda_chunk,
+                                            verbose=self.verbose)
+                feats = tda["features"].reshape(B, N_BANDS, K, 22)
+                from ..ops.features import aggregate_mean_std
+                agg = np.array(aggregate_mean_std(
+                    jnp.asarray(feats), jnp.asarray(use_mask)))
+                pending.append((agg.reshape(B, N_BANDS, 2, 11, 2), idxs))
+            drain(3)          # bound in-flight device memory (~4 batches)
+            if self.verbose:
+                el = time.time() - t0
+                print(f"  features: {b0 + len(idxs)}/{len(all_idx)} "
+                      f"recordings dispatched ({el:.0f}s)")
+
+        drain(0)
+        for agg, idxs in done:
             for bi_, i in enumerate(idxs):
                 X_rows.append(classify.features_to_row(agg[bi_]))
                 fn, subj, cond = self.ds.index[i]
                 y.append(0 if cond == "slow" else 1)
                 subjects.append(subj)
                 filenames.append(fn)
-            if self.verbose:
-                el = time.time() - t0
-                print(f"  features: {b0 + len(idxs)}/{len(all_idx)} "
-                      f"recordings ({el:.0f}s)")
         return (np.stack(X_rows), np.array(y), np.array(subjects), filenames,
                 dict(min_windows=min_windows, K=K))
 
@@ -551,6 +666,29 @@ class StudyRunner:
             if "p" in results[band]:
                 results[band]["p_fdr"] = float(np.array(p_fdr)[0, i])
                 results[band]["sig_fdr"] = bool(np.array(reject)[0, i])
+        # per band × condition breakdown (reference matched_vs_mismatched.py:232-253)
+        per_cond = defaultdict(lambda: defaultdict(list))
+        for r in rows:
+            if np.isfinite(r["w_matched"]) and np.isfinite(r["w_mismatched"]):
+                per_cond[(r["band"], r["condition"])][r["subject"]].append(r)
+        for band in BAND_NAMES:
+            bd = results.setdefault(band, {})
+            by_cond = {}
+            for cond in ("slow", "fast"):
+                sm = {s: (np.mean([x["w_matched"] for x in rs]),
+                          np.mean([x["w_mismatched"] for x in rs]))
+                      for s, rs in per_cond[(band, cond)].items()}
+                if not sm:
+                    continue
+                diff = np.array([m - mm for (m, mm) in sm.values()])
+                by_cond[cond] = {
+                    "n": len(sm),
+                    "w_matched": float(np.mean([m for m, _ in sm.values()])),
+                    "w_mismatched": float(np.mean([mm for _, mm in sm.values()])),
+                    "n_matched_lower": int(np.sum(diff < 0)),
+                }
+            if by_cond:
+                bd["by_condition"] = by_cond
         if self.results_dir:
             self.results_dir.mkdir(parents=True, exist_ok=True)
             (self.results_dir / "matched_vs_mismatched.json").write_text(
@@ -569,6 +707,12 @@ class StudyRunner:
         res["window_equalization"] = meta
         if self.results_dir:
             self.results_dir.mkdir(parents=True, exist_ok=True)
+            ranked = res.pop("all_importances", {})
             (self.results_dir / "results_summary.json").write_text(
                 json.dumps(res, indent=2))
+            # feature_importance_ranked.csv (reference results artifact C24)
+            with open(self.results_dir / "feature_importance_ranked.csv", "w") as f:
+                f.write("rank,feature,importance\n")
+                for rk, (name, imp) in enumerate(ranked.items(), 1):
+                    f.write(f"{rk},{name},{imp}\n")
         return res

@@ -326,3 +326,228 @@ def minmax_normalize_points(points: jnp.ndarray, mask: jnp.ndarray) -> jnp.ndarr
     rng = jnp.where(rng == 0, 1.0, rng)
     out = (points - pmin) / rng
     return jnp.where(m, out, 0.0)
+
+
+# ─────────────────────────────────────────────────────────────────────────────
+# Exact zero-phase IIR path (config.filter_impl == "iir_scan")
+# ─────────────────────────────────────────────────────────────────────────────
+#
+# The reference's Butterworth filtfilt is a sequential IIR recurrence — the
+# classic TPU-hostile pattern.  A biquad y/state recursion is an affine map
+# s_{n+1} = A s_n + c(x_n), so the whole recording is computed exactly with a
+# parallel associative scan over 2×2 affine pairs (log-depth on device).
+# This is the bit-faithful parity path for the FIR deviation study; the FIR
+# bank remains the throughput path.
+
+
+@functools.lru_cache(maxsize=None)
+def design_butter_sos(low: float, high: float, fs: int, order: int = 4,
+                      btype: str = "band"):
+    """Butterworth SOS + per-section initial conditions (scipy semantics:
+    notebooks/1_preprocesamiento.ipynb cell 1 design_bandpass_filter;
+    scripts/utils.py:56-74)."""
+    from scipy import signal as sps
+
+    nyq = fs / 2.0
+    if btype == "band":
+        lo = max(low / nyq, 0.001)
+        hi = min(high / nyq, 0.999)
+        sos = sps.butter(order, [lo, hi], btype="band", output="sos")
+    else:
+        sos = sps.butter(order, low / nyq, btype="low", output="sos")
+    zi = sps.sosfilt_zi(sos)
+    return sos.astype(np.float64), zi.astype(np.float64)
+
+
+def _biquad_scan(x: jnp.ndarray, b: jnp.ndarray, a: jnp.ndarray,
+                 zi: jnp.ndarray) -> jnp.ndarray:
+    """Exact direct-form-II-transposed biquad via affine associative scan.
+
+    x: (..., T); b (3,), a (3,) with a[0]=1; zi (..., 2) initial state.
+    y_n = b0 x_n + s1_n ;  s1' = b1 x_n − a1 y_n + s2 ;  s2' = b2 x_n − a2 y_n.
+    """
+    b0, b1, b2 = b[0], b[1], b[2]
+    a1, a2 = a[1], a[2]
+    # s_{n+1} = A s_n + c x_n
+    A = jnp.array([[-a1, 1.0], [-a2, 0.0]], x.dtype)
+    cvec = jnp.stack([b1 - a1 * b0, b2 - a2 * b0]).astype(x.dtype)
+
+    T = x.shape[-1]
+    Ms = jnp.broadcast_to(A, (*x.shape, 2, 2))
+    vs = x[..., None] * cvec
+
+    def compose(e1, e2):
+        M1, v1 = e1
+        M2, v2 = e2
+        return (jnp.einsum("...ij,...jk->...ik", M2, M1),
+                jnp.einsum("...ij,...j->...i", M2, v1) + v2)
+
+    Mp, vp = jax.lax.associative_scan(compose, (Ms, vs), axis=-3)
+    # state BEFORE consuming x_n: s_0 = zi ; s_n = prefix_{n-1}(zi)
+    s_later = jnp.einsum("...tij,...j->...ti", Mp[..., :-1, :, :], zi) + vp[..., :-1, :]
+    s = jnp.concatenate([zi[..., None, :], s_later], axis=-2)
+    return b0 * x + s[..., 0]
+
+
+def sosfiltfilt_scan(x: jnp.ndarray, sos: np.ndarray, zi: np.ndarray) -> jnp.ndarray:
+    """Exact scipy.signal.sosfiltfilt on device (odd padding, zi scaling)."""
+    n_sections = sos.shape[0]
+    ntaps = 2 * n_sections + 1
+    ntaps -= min((sos[:, 2] == 0).sum(), (sos[:, 5] == 0).sum())
+    edge = ntaps * 3
+    ext = _odd_ext(x, edge)
+
+    def run(sig):
+        x0 = sig[..., :1]
+        out = sig
+        for s in range(n_sections):
+            b = jnp.asarray(sos[s, :3], x.dtype)
+            a = jnp.asarray(sos[s, 3:], x.dtype)
+            z = jnp.asarray(zi[s], x.dtype) * x0
+            out = _biquad_scan(out, b, a, z)
+            # scipy scales every section's zi by the first sample of the
+            # cascade INPUT (ext[0]) — x0 intentionally not updated
+        return out
+
+    y = run(ext)
+    y = y[..., ::-1]
+    y0 = y[..., :1]
+    out = y
+    for s in range(n_sections):
+        b = jnp.asarray(sos[s, :3], x.dtype)
+        a = jnp.asarray(sos[s, 3:], x.dtype)
+        z = jnp.asarray(zi[s], x.dtype) * y0
+        out = _biquad_scan(out, b, a, z)
+    out = out[..., ::-1]
+    return out[..., edge:-edge]
+
+
+def bandpass_iir_scan(x: jnp.ndarray, fs: int, low: float, high: float,
+                      order: int = 4) -> jnp.ndarray:
+    """Exact reference band-pass: Butterworth sosfiltfilt via scan.
+
+    Pass-through when the clamped band is empty (reference utils.py:71-72).
+    """
+    nyq = fs / 2.0
+    if max(low / nyq, 0.001) >= min(high / nyq, 0.999):
+        return x
+    sos, zi = design_butter_sos(low, high, fs, order, "band")
+    return sosfiltfilt_scan(x, sos, zi)
+
+
+def _cascade_scan(sig: jnp.ndarray, sos: jnp.ndarray, zi: jnp.ndarray) -> jnp.ndarray:
+    """Forward SOS cascade via scan; zi scaled by the cascade input's first
+    sample (scipy sosfiltfilt semantics)."""
+    x0 = sig[..., :1]
+    out = sig
+    for s in range(sos.shape[0]):
+        b = sos[s, :3].astype(sig.dtype)
+        a = sos[s, 3:].astype(sig.dtype)
+        out = _biquad_scan(out, b, a, zi[s].astype(sig.dtype) * x0)
+    return out
+
+
+def sosfiltfilt_scan_masked(x: jnp.ndarray, n: jnp.ndarray, sos, zi) -> jnp.ndarray:
+    """Exact `scipy.signal.sosfiltfilt` on length-padded batches.
+
+    x: (..., T_pad) with valid data in [0, n) per leading-batch element
+    (n broadcastable to x.shape[:-1]); returns filtered output, exact on
+    [0, n) and zero beyond.  The odd extension, the reversal, and the final
+    crop are all length-aware dynamic gathers so one static-shape program
+    serves every recording length — the padded tail never contaminates the
+    backward IIR pass (unlike naively filtering the padded buffer).
+    """
+    sos = jnp.asarray(np.asarray(sos))
+    zi_a = jnp.asarray(np.asarray(zi))
+    n_sections = sos.shape[0]
+    ntaps = 2 * n_sections + 1
+    ntaps -= min(int((np.asarray(sos)[:, 2] == 0).sum()),
+                 int((np.asarray(sos)[:, 5] == 0).sum()))
+    edge = ntaps * 3
+    T = x.shape[-1]
+    Text = T + 2 * edge
+    n = jnp.broadcast_to(n, x.shape[:-1])[..., None]            # (..., 1)
+    j = jnp.arange(Text)
+
+    x_last = jnp.take_along_axis(x, jnp.maximum(n - 1, 0), axis=-1)  # (..., 1)
+    x_first = x[..., :1]
+    in_left = j < edge
+    in_mid = (j >= edge) & (j < edge + n)
+    src = jnp.where(in_left, edge - j,
+                    jnp.where(in_mid, j - edge, n - 2 - (j - edge - n)))
+    src = jnp.clip(src, 0, T - 1)
+    vals = jnp.take_along_axis(x, src, axis=-1)
+    ext = jnp.where(in_mid, vals,
+                    jnp.where(in_left, 2.0 * x_first - vals, 2.0 * x_last - vals))
+    L = n + 2 * edge                                            # valid ext length
+    ext = jnp.where(j < L, ext, 0.0)
+
+    y1 = _cascade_scan(ext, sos, zi_a)
+    # length-aware reversal: rev[j] = y1[L-1-j] for j < L, else 0
+    rev_idx = jnp.clip(L - 1 - j, 0, Text - 1)
+    y1r = jnp.where(j < L, jnp.take_along_axis(y1, rev_idx, axis=-1), 0.0)
+    y2 = _cascade_scan(y1r, sos, zi_a)
+    # y2 is reversed; out[t] = y2[L-1-(edge+t)] = y2[n+edge-1-t] for t < n
+    t = jnp.arange(T)
+    out_idx = jnp.clip(n + edge - 1 - t, 0, Text - 1)
+    out = jnp.take_along_axis(y2, out_idx, axis=-1)
+    return jnp.where(t < n, out, 0.0)
+
+
+@functools.lru_cache(maxsize=None)
+def design_butter_band_bank(fs: int, order: int = 4):
+    """Stacked Butterworth SOS bank for the 5 reference bands → (5,S,6),(5,S,2)."""
+    from ..config import FREQ_BANDS
+
+    soss, zis = [], []
+    for lo, hi in FREQ_BANDS.values():
+        sos, zi = design_butter_sos(lo, hi, fs, order, "band")
+        soss.append(sos)
+        zis.append(zi)
+    return np.stack(soss), np.stack(zis)
+
+
+def welch_psd(x: jnp.ndarray, fs: float = 250.0, nperseg: int = 256,
+              noverlap: int | None = None) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Welch power spectral density along the last axis (scipy semantics:
+    Hann window, per-segment constant detrend, density scaling, one-sided).
+
+    Replaces the EDA notebook's scipy.signal.welch
+    (reference notebooks/0_eda.ipynb PSD cells) with a batched device op:
+    x (..., T) → (freqs (F,), Pxx (..., F)), F = nperseg//2 + 1.
+    """
+    if noverlap is None:
+        noverlap = nperseg // 2
+    step = nperseg - noverlap
+    T = x.shape[-1]
+    n_seg = max((T - nperseg) // step + 1, 1)
+    idx = jnp.arange(n_seg)[:, None] * step + jnp.arange(nperseg)[None, :]
+    segs = jnp.take(x, idx, axis=-1)                     # (..., n_seg, nperseg)
+    segs = segs - jnp.mean(segs, axis=-1, keepdims=True)
+    n_ = jnp.arange(nperseg)
+    win = (0.5 - 0.5 * jnp.cos(2 * jnp.pi * n_ / nperseg)).astype(x.dtype)
+    X = jnp.fft.rfft(segs * win, axis=-1)
+    scale = 1.0 / (fs * jnp.sum(win ** 2))
+    Pxx = (X.real ** 2 + X.imag ** 2) * scale
+    # one-sided doubling, except DC and (for even nperseg) Nyquist
+    F = Pxx.shape[-1]
+    dbl = jnp.ones(F).at[0].set(0.5)
+    if nperseg % 2 == 0:
+        dbl = dbl.at[-1].set(0.5)
+    Pxx = Pxx * 2.0 * dbl
+    freqs = jnp.fft.rfftfreq(nperseg, 1.0 / fs)
+    return freqs, jnp.mean(Pxx, axis=-2)
+
+
+def bandpass_bank_iir_scan(x: jnp.ndarray, n: jnp.ndarray, fs: int,
+                           order: int = 4) -> jnp.ndarray:
+    """Exact 5-band Butterworth filtfilt bank on padded batches.
+
+    x: (..., T) valid to n samples → (..., 5, T).  The bit-faithful
+    counterpart of `bandpass_bank` (reference notebooks cell 1
+    `apply_bandpass_filter` per band); `filter_impl="iir_scan"` selects it.
+    """
+    sos_bank, zi_bank = design_butter_band_bank(fs, order)
+    outs = [sosfiltfilt_scan_masked(x, n, sos_bank[i], zi_bank[i])
+            for i in range(sos_bank.shape[0])]
+    return jnp.stack(outs, axis=-2)

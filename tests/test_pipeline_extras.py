@@ -1,0 +1,128 @@
+"""Tests for EDA ops, exact IIR filtfilt path, artifact stages and sharding."""
+import json
+
+import numpy as np
+import pytest
+import jax.numpy as jnp
+
+from tda_eeg_audio_tpu.config import DEFAULT_CONFIG
+from tda_eeg_audio_tpu.ops import signal as tsig
+
+
+def test_welch_psd_matches_scipy():
+    from scipy import signal as sps
+
+    rng = np.random.default_rng(0)
+    x = rng.standard_normal((3, 2000))
+    f_ref, p_ref = sps.welch(x, fs=250.0, nperseg=250)
+    f_dev, p_dev = tsig.welch_psd(jnp.asarray(x), fs=250.0, nperseg=250)
+    np.testing.assert_allclose(np.array(f_dev), f_ref, atol=1e-9)
+    np.testing.assert_allclose(np.array(p_dev), p_ref, rtol=1e-4, atol=1e-9)
+
+
+def test_sosfiltfilt_scan_masked_exact():
+    """Length-aware exact filtfilt on a padded batch vs per-recording scipy."""
+    from scipy import signal as sps
+    from tda_eeg_audio_tpu.ops.signal import (sosfiltfilt_scan_masked,
+                                              design_butter_sos)
+
+    rng = np.random.default_rng(2)
+    T_pad = 900
+    ns = np.array([900, 731])
+    x = np.zeros((2, T_pad), np.float64)
+    for i, n in enumerate(ns):
+        x[i, :n] = rng.standard_normal(n)
+    sos, zi = design_butter_sos(4.0, 8.0, 250, 4, "band")
+    got = np.asarray(sosfiltfilt_scan_masked(
+        jnp.asarray(x), jnp.asarray(ns), sos, zi))
+    for i, n in enumerate(ns):
+        ref = sps.sosfiltfilt(sos, x[i, :n])
+        # float32 under the default test config (exact to ~1e-11 under x64)
+        err = np.max(np.abs(got[i, :n] - ref)) / np.max(np.abs(ref))
+        assert err < 1e-4, err
+        assert np.all(got[i, n:] == 0.0)
+
+
+def test_eda_runner(tmp_path):
+    from tda_eeg_audio_tpu.io.synthetic import SynthDataset
+    from tda_eeg_audio_tpu.models.eda import run_eda
+
+    ds = SynthDataset(n_subjects=3, n_per_subject=4)
+    out = run_eda(ds, DEFAULT_CONFIG, results_dir=tmp_path, eeg_batch=4,
+                  verbose=False)
+    assert out["n_recordings"] == len(ds)
+    assert out["n_subjects"] == 3
+    assert set(out["band_power"]) == {"delta", "theta", "alpha", "beta", "gamma"}
+    art = json.loads((tmp_path / "eda_summary.json").read_text())
+    assert art["n_slow"] + art["n_fast"] == len(ds)
+    assert (tmp_path / "file_inventory.csv").exists()
+
+
+def test_preprocess_and_graphs_artifacts(tmp_path):
+    from tda_eeg_audio_tpu.io.synthetic import SynthDataset
+    from tda_eeg_audio_tpu.models.study import StudyRunner
+
+    ds = SynthDataset(n_subjects=2, n_per_subject=2)
+    r = StudyRunner(ds, DEFAULT_CONFIG, eeg_batch=4, verbose=False)
+    rows = r.write_preprocessed(tmp_path / "preprocessed")
+    assert len(rows) == len(ds)
+    stem = rows[0]["filename"].replace(".mat", "")
+    d = tmp_path / "preprocessed" / rows[0]["condition"] / stem
+    arr = np.load(d / "delta.npy")
+    assert arr.shape[1:] == (47, 250)
+    assert arr.shape[0] == rows[0]["n_windows"]
+    assert (tmp_path / "preprocessed" / "preprocessing_metadata.csv").exists()
+
+    n = r.write_graphs(tmp_path / "graphs")
+    assert n == len(ds)
+    g = tmp_path / "graphs" / rows[0]["condition"] / stem
+    dm = np.load(g / "gamma_distances.npy")
+    assert dm.shape[1:] == (47, 47)
+    # distance-matrix invariants (reference validate_distance_matrix)
+    assert np.allclose(dm, np.swapaxes(dm, -1, -2), atol=1e-5)
+    assert np.all(dm >= 0)
+    assert np.allclose(np.diagonal(dm, axis1=-2, axis2=-1), 0, atol=1e-6)
+
+
+def test_feature_sharding_partials_merge(tmp_path):
+    """Shards + merge == monolithic run (reference C18 semantics)."""
+    from tda_eeg_audio_tpu.io.synthetic import SynthDataset
+    from tda_eeg_audio_tpu.models.study import StudyRunner
+    from tda_eeg_audio_tpu import cli
+
+    ds = SynthDataset(n_subjects=2, n_per_subject=2)
+    r = StudyRunner(ds, DEFAULT_CONFIG, eeg_batch=4, verbose=False)
+    X_full, y_full, s_full, fn_full, _ = r.compute_feature_dataset()
+    X0, y0, s0, fn0, _ = r.compute_feature_dataset(batch_start=0, batch_end=2)
+    X1, y1, s1, fn1, _ = r.compute_feature_dataset(batch_start=2, batch_end=None)
+    np.testing.assert_allclose(np.vstack([X0, X1]), X_full, rtol=1e-6)
+    assert list(fn0) + list(fn1) == list(fn_full)
+
+    # partial write + merge through the CLI helper
+    from tda_eeg_audio_tpu.models.classify import feature_names_220
+    pdir = tmp_path / "partials"
+    pdir.mkdir(parents=True)
+    for i, (X, y, s, fn) in enumerate([(X0, y0, s0, fn0), (X1, y1, s1, fn1)]):
+        np.savez(pdir / f"batch_{i}.npz", X=X, y=y, subjects=s,
+                 filenames=np.array(fn),
+                 feature_names=np.array(feature_names_220()))
+    cli._merge_partials(tmp_path)
+    X_m = np.load(tmp_path / "X.npy")
+    np.testing.assert_allclose(X_m, X_full, rtol=1e-6)
+
+
+def test_band_ablation_runs():
+    from tda_eeg_audio_tpu.models.classify import (run_band_ablation,
+                                                   feature_names_220)
+
+    rng = np.random.default_rng(0)
+    n = 60
+    y = np.arange(n) % 2
+    X = rng.standard_normal((n, 220)) + y[:, None] * 0.5
+    subjects = np.array([f"bb{i // 4:02d}" for i in range(n)])
+    out = run_band_ablation(X, y, subjects, feature_names_220(),
+                            DEFAULT_CONFIG, verbose=False)
+    assert set(out["per_band_only"]) == {"delta", "theta", "alpha", "beta",
+                                         "gamma"}
+    assert out["gamma_only"]["n_features"] == 44
+    assert out["without_gamma"]["n_features"] == 176
