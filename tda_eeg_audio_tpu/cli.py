@@ -34,8 +34,16 @@ def _build_runner(args):
     enable_compilation_cache()
     if args.device == "cpu":
         force_cpu()
+    import dataclasses
+
     from .config import DEFAULT_CONFIG
     from .models.study import StudyRunner
+
+    cfg = DEFAULT_CONFIG
+    if getattr(args, "wasserstein", None):
+        cfg = dataclasses.replace(
+            cfg, wasserstein_backend=(
+                "sinkhorn" if args.wasserstein == "sinkhorn" else "host_exact"))
 
     if args.data:
         from .io.matfiles import MatDataset
@@ -46,7 +54,7 @@ def _build_runner(args):
 
         ds = SynthDataset(n_subjects=args.subjects,
                           n_per_subject=args.per_subject)
-    return StudyRunner(ds, DEFAULT_CONFIG, eeg_batch=args.batch,
+    return StudyRunner(ds, cfg, eeg_batch=args.batch,
                        tda_chunk=args.chunk, results_dir=args.results,
                        backend=args.backend)
 
@@ -70,8 +78,14 @@ def main(argv=None) -> int:
     ap.add_argument("--device", choices=["tpu", "cpu"], default="tpu")
     ap.add_argument("--backend", choices=["device", "host"], default=None,
                     help="homology backend (default: device kernel)")
+    ap.add_argument("--wasserstein", choices=["exact", "sinkhorn"],
+                    default=None,
+                    help="exact = host JV engine (parity); sinkhorn = fused "
+                         "on-device OT (throughput)")
     ap.add_argument("--permutations", type=int, default=None)
     ap.add_argument("--bootstrap", type=int, default=None)
+    ap.add_argument("--profile", default=None, metavar="DIR",
+                    help="write a jax.profiler trace + stage timings to DIR")
     # job-level sharding (reference BATCH_START/BATCH_END/WRITE_PARTIAL/
     # MERGE_PARTIALS env vars, tda_eeg_classification_v2.py:54-60,608-668)
     ap.add_argument("--batch-start", type=int,
@@ -88,6 +102,17 @@ def main(argv=None) -> int:
     out_dir = Path(args.results)
     out_dir.mkdir(parents=True, exist_ok=True)
 
+    from .utils.profiling import device_trace, GLOBAL_TIMES
+
+    with device_trace(args.profile):
+        with GLOBAL_TIMES.stage(args.command):
+            rc = _dispatch(args, runner, out_dir)
+    if args.profile:
+        GLOBAL_TIMES.dump(Path(args.profile) / "stage_times.json")
+    return rc
+
+
+def _dispatch(args, runner, out_dir: Path) -> int:
     if args.command == "preprocess":
         rows = runner.write_preprocessed(args.out or "preprocessed")
         print(f"preprocess: {len(rows)} recordings → {args.out or 'preprocessed'}")

@@ -402,12 +402,121 @@ class StudyRunner:
         from ..native.engine import wasserstein_batch
         return wasserstein_batch(b1, d1, m1, b2, d2, m2)
 
+    # ---------------- fused single-call comparison pass ----------------
+
+    def _mismatch_index(self):
+        """subject×condition → index of the FIRST opposite-condition recording
+        (reference matched_vs_mismatched.py:117-121)."""
+        by_subj = defaultdict(lambda: defaultdict(list))
+        for i in range(len(self.ds)):
+            fn, subj, cond = self.ds.index[i]
+            by_subj[subj][cond].append(i)
+        for subj in by_subj:
+            for cond in by_subj[subj]:
+                by_subj[subj][cond].sort(key=lambda i: self.ds.index[i][0])
+        mis = {}
+        for subj, conds in by_subj.items():
+            for cond in ("slow", "fast"):
+                opp = "fast" if cond == "slow" else "slow"
+                if conds[opp]:
+                    mis[(subj, cond)] = conds[opp][0]
+        return mis
+
+    def _fused_rows(self):
+        """One fused device pass over all recordings → comparison + control
+        rows.  Wasserstein runs on device (Sinkhorn, persim cost semantics);
+        nothing larger than (B, 5) statistics crosses the link."""
+        if getattr(self, "_fused_cache", None) is not None:
+            return self._fused_cache
+        cfg = self.cfg
+        FEATS = ["mean_persistence", "total_persistence",
+                 "persistence_entropy", "max_persistence", "n_features"]
+        mis_idx = self._mismatch_index()
+        rows = []
+        t0 = time.time()
+        all_idx = list(range(len(self.ds)))
+        pending = []
+        for b0 in range(0, len(all_idx), self.eeg_batch):
+            idxs = all_idx[b0:b0 + self.eeg_batch]
+            eeg, audio, ns_e, ns_a, metas = self._load_batch(idxs)
+            mis_audio = np.zeros_like(audio)
+            ns_mis = np.zeros_like(ns_a)
+            has_mis = np.zeros(len(idxs), bool)
+            for bi_, i in enumerate(idxs):
+                fn, subj, cond = self.ds.index[i]
+                j = mis_idx.get((subj, cond))
+                if j is None:
+                    mis_audio[bi_] = audio[bi_]
+                    ns_mis[bi_] = ns_a[bi_]
+                else:
+                    has_mis[bi_] = True
+                    rec = self.ds.load(j)
+                    n_a_ = min(len(rec["audio"]), mis_audio.shape[1])
+                    mis_audio[bi_, :n_a_] = rec["audio"][:n_a_]
+                    ns_mis[bi_] = n_a_
+            B = len(idxs)
+            if B < self.eeg_batch:
+                padn = self.eeg_batch - B
+                eeg = np.concatenate([eeg, np.zeros((padn, *eeg.shape[1:]),
+                                                    eeg.dtype)])
+                audio = np.concatenate([audio, np.zeros((padn, audio.shape[1]),
+                                                        audio.dtype)])
+                mis_audio = np.concatenate(
+                    [mis_audio, np.zeros((padn, audio.shape[1]), audio.dtype)])
+                ns_e = np.concatenate([ns_e, np.full(padn, 250)])
+                ns_a = np.concatenate([ns_a, np.full(padn, 44100)])
+                ns_mis = np.concatenate([ns_mis, np.full(padn, 44100)])
+            out = programs.comparison_program(
+                jnp.asarray(eeg), jnp.asarray(ns_e), jnp.asarray(audio),
+                jnp.asarray(ns_a), jnp.asarray(mis_audio), jnp.asarray(ns_mis),
+                cfg, N_WIN_MAX, N_RS_MAX, K_CMP,
+                eeg_chunk=min(self.tda_chunk, 256),
+                aud_chunk=max(min(self.tda_chunk // 8, 64), 16))
+            pending.append((out, idxs, metas, has_mis))
+            while len(pending) > 2:
+                self._drain_fused(pending.pop(0), rows, FEATS)
+            if self.verbose:
+                print(f"  fused compare: {b0 + len(idxs)}/{len(all_idx)} "
+                      f"dispatched ({time.time() - t0:.0f}s)")
+        while pending:
+            self._drain_fused(pending.pop(0), rows, FEATS)
+        self._fused_cache = rows
+        return rows
+
+    def _drain_fused(self, item, rows, FEATS):
+        out, idxs, metas, has_mis = item
+        w_h0 = np.asarray(out["w_h0"])[: len(idxs)]
+        w_h1 = np.asarray(out["w_h1"])[: len(idxs)]
+        w_mis = np.asarray(out["w_h1_mis"])[: len(idxs)]
+        corr_r = np.asarray(out["corr_r"])[: len(idxs)]
+        corr_p = np.asarray(out["corr_p"])[: len(idxs)]
+        tau = np.asarray(out["tau"])[: len(idxs)]
+        n_pair = np.asarray(out["n_pair"])[: len(idxs)]
+        for bi_, meta in enumerate(metas):
+            for bd, band in enumerate(BAND_NAMES):
+                row = dict(filename=meta["filename"],
+                           condition=meta["condition"],
+                           subject=meta["subject"], band=band,
+                           wasserstein_h0=float(w_h0[bi_, bd]),
+                           wasserstein_h1=float(w_h1[bi_, bd]),
+                           w_mismatched=(float(w_mis[bi_, bd])
+                                         if has_mis[bi_] else np.nan),
+                           n_windows=int(n_pair[bi_]),
+                           tau=int(tau[bi_, bd]))
+                for fi, fname in enumerate(FEATS):
+                    row[f"corr_{fname}_r"] = float(corr_r[bi_, bd, fi])
+                    row[f"corr_{fname}_p"] = float(corr_p[bi_, bd, fi])
+                rows.append(row)
+
     # ---------------- analysis: EEG↔audio comparison ----------------
 
     def run_comparison(self, n_permutations: int | None = None) -> dict:
         """Hypothesis-2 analysis → eeg_audio_tda_comparison.json schema."""
         cfg = self.cfg
         n_perm = n_permutations or 1000
+        if self.backend == "device" and cfg.wasserstein_backend == "sinkhorn":
+            rows = [r for r in self._fused_rows() if r["n_windows"] > 0]
+            return self._comparison_stats(rows, n_perm)
         rows = []
         t0 = time.time()
         all_idx = list(range(len(self.ds)))
@@ -566,6 +675,19 @@ class StudyRunner:
         audio; mismatched = EEG vs the subject's FIRST recording of the
         opposite condition.
         """
+        if (self.backend == "device"
+                and self.cfg.wasserstein_backend == "sinkhorn"):
+            frows = self._fused_rows()
+            subj_conds = defaultdict(set)
+            for r in frows:
+                subj_conds[r["subject"]].add(r["condition"])
+            rows = [dict(subject=r["subject"], condition=r["condition"],
+                         band=r["band"], w_matched=r["wasserstein_h1"],
+                         w_mismatched=r["w_mismatched"])
+                    for r in frows
+                    if len(subj_conds[r["subject"]]) == 2
+                    and np.isfinite(r["w_mismatched"])]
+            return self._control_stats(rows)
         # index: subject → condition → ordered recording idxs
         by_subj = defaultdict(lambda: defaultdict(list))
         for i in range(len(self.ds)):
