@@ -138,16 +138,26 @@ def run_classification(X: np.ndarray, y: np.ndarray, subjects: np.ndarray,
         band_imp[parts[0]] = band_imp.get(parts[0], 0.0) + float(imp)
         dim_imp[parts[1]] = dim_imp.get(parts[1], 0.0) + float(imp)
 
-    # permutation test (reference :953-978)
+    # permutation test (reference :953-978).  The permuted label vectors are
+    # drawn sequentially from one seeded stream (bit-identical to the
+    # reference's loop); the independent CV re-runs then fan out over all
+    # host cores — the reference runs them serially (its wall-clock hot spot,
+    # SURVEY §3 hot loop #4).
     observed = cv_scores.mean()
     rng = np.random.RandomState(cfg.random_state)
-    null = np.empty(n_perm)
-    for i in range(n_perm):
-        y_p = permute_labels_by_subject(y, subjects, rng)
-        null[i] = cross_val_score(pipe, X, y_p, groups=subjects, cv=gkf,
-                                  scoring="accuracy").mean()
-        if verbose and (i + 1) % max(n_perm // 10, 1) == 0:
-            print(f"  permutation {i + 1}/{n_perm}")
+    y_perms = [permute_labels_by_subject(y, subjects, rng)
+               for _ in range(n_perm)]
+
+    from joblib import Parallel, delayed
+
+    def one_perm(y_p):
+        p = make_pipeline(cfg.random_state)
+        p.named_steps["classifier"].n_jobs = 1
+        return cross_val_score(p, X, y_p, groups=subjects, cv=gkf,
+                               scoring="accuracy").mean()
+
+    null = np.array(Parallel(n_jobs=-1, prefer="processes")(
+        delayed(one_perm)(y_p) for y_p in y_perms)) if n_perm else np.zeros(1)
     p_value = (np.sum(null >= observed) + 1) / (n_perm + 1)
     effect = (observed - null.mean()) / (null.std() + 1e-30)
 

@@ -213,7 +213,7 @@ def _h1_chunked(dm, n_pts, thresh, chunk, na_max, step_budget):
     return {k: v.reshape(-1, *v.shape[2:])[:total] for k, v in out.items()}
 
 
-def _wass_sinkhorn_chunked(b1, d1, m1, b2, d2, m2, chunk=512, iters=200):
+def _wass_sinkhorn_chunked(b1, d1, m1, b2, d2, m2, chunk=512, iters=80):
     """Batched persim-cost Sinkhorn over (N, K1)/(N, K2) padded diagrams."""
     from ..ops.wasserstein import build_cost_matrix, sinkhorn_cost
 
@@ -301,13 +301,16 @@ def comparison_program(eeg: jnp.ndarray, n_e: jnp.ndarray,
     e_out = _h1_chunked(flat_e, jnp.full((flat_e.shape[0],), n, jnp.int32),
                         cfg.max_edge_length, eeg_chunk, 128, 4096)
 
+    # own + mismatched audio share one homology invocation (half the program)
     P = cfg.max_takens_points
-    a_out = _h1_chunked(aud["dm"].reshape(-1, P, P),
-                        aud["n_pts"].reshape(-1).astype(jnp.int32),
-                        cfg.max_edge_length, aud_chunk, 96, 8192)
-    m_out = _h1_chunked(mis["dm"].reshape(-1, P, P),
-                        mis["n_pts"].reshape(-1).astype(jnp.int32),
-                        cfg.max_edge_length, aud_chunk, 96, 8192)
+    am_dm = jnp.concatenate([aud["dm"].reshape(-1, P, P),
+                             mis["dm"].reshape(-1, P, P)], axis=0)
+    am_np = jnp.concatenate([aud["n_pts"].reshape(-1),
+                             mis["n_pts"].reshape(-1)]).astype(jnp.int32)
+    am_out = _h1_chunked(am_dm, am_np, cfg.max_edge_length, aud_chunk, 96, 8192)
+    half = B * N_BANDS * K
+    a_out = {k: v[:half] for k, v in am_out.items()}
+    m_out = {k: v[half:] for k, v in am_out.items()}
 
     # Wasserstein H0: EEG deaths (births 0) vs audio H0 deaths
     def h0_pack(out):
@@ -325,10 +328,10 @@ def comparison_program(eeg: jnp.ndarray, n_e: jnp.ndarray,
         return b, jnp.where(m, d, 0.0), m
 
     e1 = h1_pack(e_out)
-    a1 = h1_pack(a_out)
-    m1_ = h1_pack(m_out)
-    w_h1 = _wass_sinkhorn_chunked(*e1, *a1, chunk=w_chunk)
-    w_h1_mis = _wass_sinkhorn_chunked(*e1, *m1_, chunk=w_chunk)
+    am1 = h1_pack(am_out)
+    e1x2 = tuple(jnp.concatenate([v, v], axis=0) for v in e1)
+    w_both = _wass_sinkhorn_chunked(*e1x2, *am1, chunk=w_chunk)
+    w_h1, w_h1_mis = w_both[:half], w_both[half:]
 
     pm = jnp.repeat(kmask[:, None, :], N_BANDS, 1).reshape(-1)    # (B·5·K,)
     mis_pm = pm & jnp.repeat(

@@ -117,5 +117,31 @@ def test_sinkhorn_close_to_exact():
     D = build_cost_matrix(jnp.asarray(b1[None]), jnp.asarray(d1[None]),
                           jnp.asarray(m1[None]), jnp.asarray(b2[None]),
                           jnp.asarray(d2[None]), jnp.asarray(m2[None]))
-    approx = float(np.array(sinkhorn_cost(D, eps_rel=5e-4, iters=500))[0])
-    assert abs(approx - ref) / ref < 0.05, (approx, ref)
+    approx = float(np.array(sinkhorn_cost(D))[0])
+    assert abs(approx - ref) / ref < 0.005, (approx, ref)
+
+
+def test_sinkhorn_batch_accuracy_vs_native():
+    """ε-annealed Sinkhorn vs exact JV on study-shaped diagram batches."""
+    from tda_eeg_audio_tpu.native.engine import wasserstein_batch
+
+    rng = np.random.default_rng(0)
+    N, K1, K2 = 16, 46, 96
+
+    def mk(K, nmax):
+        b = np.sort(rng.uniform(0.3, 1.5, (N, K)).astype(np.float32), 1)
+        d = (b + rng.exponential(0.15, (N, K))).astype(np.float32)
+        m = np.zeros((N, K), bool)
+        for i in range(N):
+            m[i, : rng.integers(3, nmax)] = True
+        return (np.where(m, b, 0).astype(np.float32),
+                np.where(m, d, 0).astype(np.float32), m)
+
+    b1, d1, m1 = mk(K1, 46)
+    b2, d2, m2 = mk(K2, 90)
+    exact = wasserstein_batch(b1, d1, m1, b2, d2, m2)
+    D = build_cost_matrix(*(jnp.asarray(x) for x in (b1, d1, m1, b2, d2, m2)))
+    sk = np.array(sinkhorn_cost(D))
+    rel = np.abs(sk - exact) / np.maximum(np.abs(exact), 1e-9)
+    assert np.median(rel) < 1e-3, np.median(rel)
+    assert rel.max() < 5e-3, rel.max()
