@@ -192,99 +192,51 @@ def recording_features(dist: jnp.ndarray, use_idx: jnp.ndarray,
 # ─────────────────────────────────────────────────────────────────────────────
 
 
-def _h1_chunked(dm, n_pts, thresh, chunk, na_max, step_budget):
-    """(N, n, n) → audio_window_diagrams-style dict via lax.map chunks."""
-    n = dm.shape[-1]
-    total = dm.shape[0]
-    n_chunks = -(-total // chunk)
-    pad = n_chunks * chunk - total
-    if pad:
-        far = (1.0 - jnp.eye(n)) * (thresh + 1.0)
-        dm = jnp.concatenate([dm, jnp.broadcast_to(far, (pad, n, n))], axis=0)
-        n_pts = jnp.concatenate([n_pts, jnp.full((pad,), n, jnp.int32)])
-
-    def do_chunk(args):
-        d, npts = args
-        return audio_window_diagrams(d, npts, thresh=thresh, na_max=na_max,
-                                     h1_max=na_max, step_budget=step_budget)
-
-    out = jax.lax.map(do_chunk, (dm.reshape(n_chunks, chunk, n, n),
-                                 n_pts.reshape(n_chunks, chunk)))
-    return {k: v.reshape(-1, *v.shape[2:])[:total] for k, v in out.items()}
-
-
-def _wass_sinkhorn_chunked(b1, d1, m1, b2, d2, m2, chunk=512, iters=80):
-    """Batched persim-cost Sinkhorn over (N, K1)/(N, K2) padded diagrams."""
+@jax.jit
+def _wass_chunk_program(bb1, dd1, mm1, bb2, dd2, mm2):
+    """One Sinkhorn-Wasserstein chunk (persim semantics, (0,0) sentinels)."""
     from ..ops.wasserstein import build_cost_matrix, sinkhorn_cost
 
+    def sent(b, d, m):
+        # empty → (0,0) sentinel (reference safe_wasserstein, utils.py:183-187)
+        empty = ~jnp.any(m, axis=-1)
+        return (jnp.where(empty[:, None], 0.0, b),
+                jnp.where(empty[:, None], 0.0, d),
+                m.at[:, 0].set(m[:, 0] | empty))
+
+    bb1, dd1, mm1 = sent(bb1, dd1, mm1)
+    bb2, dd2, mm2 = sent(bb2, dd2, mm2)
+    D = build_cost_matrix(bb1, dd1, mm1, bb2, dd2, mm2)
+    return sinkhorn_cost(D)
+
+
+def _wass_sinkhorn_chunked(b1, d1, m1, b2, d2, m2, chunk=512):
+    """Batched persim-cost Sinkhorn over (N, K1)/(N, K2) padded diagrams.
+
+    Python-chunked over device-resident arrays (async dispatches of one
+    cached executable)."""
     N = b1.shape[0]
-    n_chunks = -(-N // chunk)
-    pad = n_chunks * chunk - N
-
-    def pz(x):
-        return jnp.concatenate(
-            [x, jnp.zeros((pad, x.shape[1]), x.dtype)], axis=0) if pad else x
-
-    args = tuple(pz(v) for v in (b1, d1, m1, b2, d2, m2))
-
-    def do_chunk(a):
-        bb1, dd1, mm1, bb2, dd2, mm2 = a
-        # empty → (0,0) sentinel (reference safe_wasserstein)
-        def sent(b, d, m):
-            empty = ~jnp.any(m, axis=-1)
-            return (jnp.where(empty[:, None], 0.0, b),
-                    jnp.where(empty[:, None], 0.0, d),
-                    m.at[:, 0].set(m[:, 0] | empty))
-        bb1, dd1, mm1 = sent(bb1, dd1, mm1)
-        bb2, dd2, mm2 = sent(bb2, dd2, mm2)
-        D = build_cost_matrix(bb1, dd1, mm1, bb2, dd2, mm2)
-        return sinkhorn_cost(D, iters=iters)
-
-    out = jax.lax.map(do_chunk,
-                      tuple(a.reshape(n_chunks, chunk, -1) for a in args))
-    return out.reshape(-1)[:N]
+    outs = []
+    for c in range(0, N, chunk):
+        end = min(c + chunk, N)
+        args = []
+        for v in (b1, d1, m1, b2, d2, m2):
+            blk = v[c:end]
+            if end - c < chunk:
+                blk = jnp.concatenate(
+                    [blk, jnp.zeros((chunk - (end - c), v.shape[1]), v.dtype)])
+            args.append(blk)
+        outs.append(_wass_chunk_program(*args)[: end - c])
+    return jnp.concatenate(outs)
 
 
-@partial(jax.jit, static_argnames=("cfg", "n_win_max", "n_rs_max", "K",
-                                   "eeg_chunk", "aud_chunk", "w_chunk"))
-def comparison_program(eeg: jnp.ndarray, n_e: jnp.ndarray,
-                       audio: jnp.ndarray, n_a: jnp.ndarray,
-                       mis_audio: jnp.ndarray, n_mis: jnp.ndarray,
-                       cfg: PipelineConfig = DEFAULT_CONFIG,
-                       n_win_max: int = 90, n_rs_max: int = 5900,
-                       K: int = 15, eeg_chunk: int = 256, aud_chunk: int = 32,
-                       w_chunk: int = 512):
-    """FUSED EEG↔audio comparison + matched/mismatched control, one call.
-
-    Per recording batch: EEG → banded distance windows; own audio and the
-    subject's opposite-condition audio → Takens diagrams; window-paired
-    Wasserstein W_H0/W_H1 (device Sinkhorn; persim cost semantics) and the
-    five H1 feature time-series correlations (device Spearman).  Replaces
-    the per-recording host loops of reference
-    scripts/tda_eeg_audio_comparison.py:45-124 and
-    scripts/matched_vs_mismatched.py:35-95; only (B, 5)-shaped statistics
-    leave the device.
-
-    Returns dict of small arrays:
-      w_h0, w_h1, w_h1_mis: (B, 5) window-mean Wasserstein distances
-      corr_r, corr_p:       (B, 5, 5) Spearman r/p for the 5 tracked features
-      tau:                  (B, 5); n_pair: (B,)
-    """
-    from ..ops import stats as dstats
-
-    B = eeg.shape[0]
-    # EEG branch
-    dist, _, wmask_e = eeg_distance_program.__wrapped__(eeg, n_e, cfg, n_win_max)
+@partial(jax.jit, static_argnames=("K", "n_win_max"))
+def _pair_select_program(dist, wmask_e, aud_n_win, K: int, n_win_max: int):
+    """Paired window selection over n_pair = min(eeg, audio) windows
+    (reference tda_eeg_audio_comparison.py:72-80) → selected EEG dms."""
+    B = dist.shape[0]
     n_win_e = jnp.sum(wmask_e, axis=-1).astype(jnp.int32)
-    # own + mismatched audio branches
-    aud = audio_takens_program.__wrapped__(audio, n_a, cfg, n_rs_max,
-                                           n_win_max, K)
-    mis = audio_takens_program.__wrapped__(mis_audio, n_mis, cfg, n_rs_max,
-                                           n_win_max, K)
-
-    # paired selection over n_pair = min(eeg, audio) windows
-    # (reference tda_eeg_audio_comparison.py:72-80)
-    n_pair = jnp.minimum(n_win_e, aud["n_win"]).astype(jnp.int32)
+    n_pair = jnp.minimum(n_win_e, aud_n_win).astype(jnp.int32)
     k = jnp.arange(K, dtype=jnp.float32)
     nwf = jnp.maximum(n_pair.astype(jnp.float32), 1.0)[:, None]
     use_all = n_pair[:, None] <= K
@@ -293,83 +245,154 @@ def comparison_program(eeg: jnp.ndarray, n_e: jnp.ndarray,
                           jnp.maximum(n_pair[:, None] - 1, 0))
     use_idx = jnp.clip(jnp.where(use_all, idx_seq, idx_lin), 0, n_win_max - 1)
     kmask = k[None, :] < jnp.minimum(n_pair, K)[:, None]          # (B, K)
-
     n = dist.shape[-1]
     sel_dm = jnp.take_along_axis(
         dist, use_idx[:, None, :, None, None], axis=2)            # (B,5,K,n,n)
-    flat_e = sel_dm.reshape(B * N_BANDS * K, n, n)
-    e_out = _h1_chunked(flat_e, jnp.full((flat_e.shape[0],), n, jnp.int32),
-                        cfg.max_edge_length, eeg_chunk, 128, 4096)
+    return sel_dm.reshape(B * N_BANDS * K, n, n), kmask, n_pair, n_win_e
 
-    # own + mismatched audio share one homology invocation (half the program)
-    P = cfg.max_takens_points
-    am_dm = jnp.concatenate([aud["dm"].reshape(-1, P, P),
-                             mis["dm"].reshape(-1, P, P)], axis=0)
-    am_np = jnp.concatenate([aud["n_pts"].reshape(-1),
-                             mis["n_pts"].reshape(-1)]).astype(jnp.int32)
-    am_out = _h1_chunked(am_dm, am_np, cfg.max_edge_length, aud_chunk, 96, 8192)
-    half = B * N_BANDS * K
-    a_out = {k: v[:half] for k, v in am_out.items()}
-    m_out = {k: v[half:] for k, v in am_out.items()}
 
-    # Wasserstein H0: EEG deaths (births 0) vs audio H0 deaths
-    def h0_pack(out):
-        d = jnp.where(jnp.isfinite(out["h0_deaths"]), out["h0_deaths"], 0.0)
-        return jnp.zeros_like(d), d, out["h0_mask"]
+def _h0_pack(out):
+    d = jnp.where(jnp.isfinite(out["h0_deaths"]), out["h0_deaths"], 0.0)
+    return jnp.zeros_like(d), d, out["h0_mask"]
 
-    e0 = h0_pack(e_out)
-    a0 = h0_pack(a_out)
-    w_h0 = _wass_sinkhorn_chunked(*e0, *a0, chunk=w_chunk)
 
-    def h1_pack(out):
-        b = out["births"]
-        d = out["deaths"]
-        m = out["h1_mask"] & jnp.isfinite(d)
-        return b, jnp.where(m, d, 0.0), m
+def _h1_pack(out):
+    b = out["births"]
+    d = out["deaths"]
+    m = out["h1_mask"] & jnp.isfinite(d)
+    return b, jnp.where(m, d, 0.0), m
 
-    e1 = h1_pack(e_out)
-    am1 = h1_pack(am_out)
-    e1x2 = tuple(jnp.concatenate([v, v], axis=0) for v in e1)
-    w_both = _wass_sinkhorn_chunked(*e1x2, *am1, chunk=w_chunk)
-    w_h1, w_h1_mis = w_both[:half], w_both[half:]
 
-    pm = jnp.repeat(kmask[:, None, :], N_BANDS, 1).reshape(-1)    # (B·5·K,)
+@partial(jax.jit, static_argnames=("K",))
+def _comparison_stats_program(w_h0, w_h1, w_h1_mis, e_feats, a_feats,
+                              kmask, n_win_e, mis_n_win, K: int):
+    """Window-mean Wasserstein + Spearman feature correlations → (B,5) stats."""
+    from ..ops import stats as dstats
+
+    B = kmask.shape[0]
+    k = jnp.arange(K, dtype=jnp.float32)
+    pm = jnp.repeat(kmask[:, None, :], N_BANDS, 1).reshape(-1)
     mis_pm = pm & jnp.repeat(
-        (k[None, :] < jnp.minimum(jnp.minimum(n_win_e, mis["n_win"]), K)[:, None]
+        (k[None, :] < jnp.minimum(jnp.minimum(n_win_e, mis_n_win), K)[:, None]
          )[:, None, :], N_BANDS, 1).reshape(-1)
 
     def wmean(w, m):
         w = w.reshape(B, N_BANDS, K)
         m = m.reshape(B, N_BANDS, K)
-        return jnp.sum(jnp.where(m, w, 0.0), -1) / jnp.maximum(
-            jnp.sum(m, -1), 1)
+        return jnp.sum(jnp.where(m, w, 0.0), -1) / jnp.maximum(jnp.sum(m, -1), 1)
 
     # Spearman temporal correlations on 5 H1 features
     # (reference tda_eeg_audio_comparison.py:98-114)
     FEAT_IDX = jnp.asarray([6, 9, 10, 8, 0])  # mean/total persistence,
     # entropy, max persistence, n_features
-    ef = e_out["features"].reshape(B, N_BANDS, K, 2, 11)[:, :, :, 1, :]
-    af = a_out["features"].reshape(B, N_BANDS, K, 2, 11)[:, :, :, 1, :]
+    ef = e_feats.reshape(B, N_BANDS, K, 2, 11)[:, :, :, 1, :]
+    af = a_feats.reshape(B, N_BANDS, K, 2, 11)[:, :, :, 1, :]
     e_ts = jnp.moveaxis(ef[..., FEAT_IDX], -1, 2)                 # (B,5,5f,K)
     a_ts = jnp.moveaxis(af[..., FEAT_IDX], -1, 2)
     km3 = jnp.broadcast_to(kmask[:, None, None, :], e_ts.shape)
     r, p = dstats.spearmanr(a_ts.reshape(-1, K), e_ts.reshape(-1, K),
                             km3.reshape(-1, K))
-    n_valid = jnp.sum(kmask, -1)                                  # (B,)
+    n_valid = jnp.sum(kmask, -1)
     std_ok = ((jnp.std(jnp.where(km3, a_ts, 0.0), -1) > 1e-10)
               & (jnp.std(jnp.where(km3, e_ts, 0.0), -1) > 1e-10))
     ok = (n_valid[:, None, None] >= 5) & std_ok
     r = jnp.where(ok, r.reshape(B, N_BANDS, 5), 0.0)
     p = jnp.where(ok, p.reshape(B, N_BANDS, 5), 1.0)
+    return dict(w_h0=wmean(w_h0, pm), w_h1=wmean(w_h1, pm),
+                w_h1_mis=wmean(w_h1_mis, mis_pm), corr_r=r, corr_p=p)
 
-    return dict(
-        w_h0=wmean(w_h0, pm), w_h1=wmean(w_h1, pm),
-        w_h1_mis=wmean(w_h1_mis, mis_pm),
-        corr_r=jnp.transpose(r, (0, 1, 2)), corr_p=p,
-        tau=aud["tau"], n_pair=jnp.minimum(n_pair, K),
-        overflow=(jnp.sum(e_out["overflow"]) + jnp.sum(a_out["overflow"])
-                  + jnp.sum(m_out["overflow"])),
-    )
+
+@partial(jax.jit, static_argnames=("thresh", "na_max", "h1_max", "step_budget"))
+def _diagram_chunk_program(dm, n_pts, thresh: float, na_max: int,
+                           h1_max: int, step_budget: int):
+    return audio_window_diagrams(dm, n_pts, thresh=thresh, na_max=na_max,
+                                 h1_max=h1_max, step_budget=step_budget)
+
+
+def _diagrams_chunked_host(dm, n_pts, thresh, chunk, na_max, step_budget):
+    """Python-chunked diagram computation over DEVICE-RESIDENT arrays.
+
+    Each chunk is one async dispatch of a small cached executable; outputs
+    stay on device (no host round trips).  Chosen over a single lax.map
+    mega-program because hour-long monolithic compiles crashed the remote
+    TPU worker — per-chunk executables compile in minutes and cache
+    individually."""
+    total = dm.shape[0]
+    n = dm.shape[-1]
+    outs = []
+    for c in range(0, total, chunk):
+        end = min(c + chunk, total)
+        blk = jax.lax.dynamic_slice_in_dim(dm, c, end - c, 0) \
+            if end - c == chunk else dm[c:end]
+        npts = n_pts[c:end]
+        if end - c < chunk:
+            pad = chunk - (end - c)
+            far = (1.0 - jnp.eye(n)) * (thresh + 1.0)
+            blk = jnp.concatenate(
+                [blk, jnp.broadcast_to(far, (pad, n, n)).astype(blk.dtype)])
+            npts = jnp.concatenate([npts, jnp.full((pad,), n, jnp.int32)])
+        outs.append(_diagram_chunk_program(blk, npts, thresh=thresh,
+                                           na_max=na_max, h1_max=na_max,
+                                           step_budget=step_budget))
+    return {k: jnp.concatenate([o[k] for o in outs])[:total] for k in outs[0]}
+
+
+def comparison_program(eeg, n_e, audio, n_a, mis_audio, n_mis,
+                       cfg: PipelineConfig = DEFAULT_CONFIG,
+                       n_win_max: int = 90, n_rs_max: int = 5900,
+                       K: int = 15, eeg_chunk: int = 256, aud_chunk: int = 32,
+                       w_chunk: int = 512):
+    """EEG↔audio comparison + matched/mismatched control for one batch.
+
+    Device-resident staged pipeline: EEG → banded distance windows; own and
+    opposite-condition audio → Takens diagrams; window-paired Wasserstein
+    W_H0/W_H1 (ε-annealed device Sinkhorn, persim cost semantics); Spearman
+    correlations of the five tracked H1 features.  Replaces the
+    per-recording host loops of reference
+    scripts/tda_eeg_audio_comparison.py:45-124 and
+    scripts/matched_vs_mismatched.py:35-95.
+
+    All intermediates (distance matrices, diagrams) remain jax Arrays on
+    the device; only the (B, 5)-shaped outputs are read back by the caller.
+    Dispatches are async, so the host loop costs ~nothing.
+    """
+    B = eeg.shape[0]
+    dist, _, wmask_e = eeg_distance_program(eeg, n_e, cfg, n_win_max)
+    aud = audio_takens_program(audio, n_a, cfg, n_rs_max, n_win_max, K)
+    mis = audio_takens_program(mis_audio, n_mis, cfg, n_rs_max, n_win_max, K)
+
+    flat_e, kmask, n_pair, n_win_e = _pair_select_program(
+        dist, wmask_e, aud["n_win"], K, n_win_max)
+    n = flat_e.shape[-1]
+    e_out = _diagrams_chunked_host(
+        flat_e, jnp.full((flat_e.shape[0],), n, jnp.int32),
+        cfg.max_edge_length, eeg_chunk, 128, 4096)
+
+    # own + mismatched audio share the diagram executable
+    P = cfg.max_takens_points
+    half = B * N_BANDS * K
+    am_dm = jnp.concatenate([aud["dm"].reshape(-1, P, P),
+                             mis["dm"].reshape(-1, P, P)], axis=0)
+    am_np = jnp.concatenate([aud["n_pts"].reshape(-1),
+                             mis["n_pts"].reshape(-1)]).astype(jnp.int32)
+    am_out = _diagrams_chunked_host(am_dm, am_np, cfg.max_edge_length,
+                                    aud_chunk, 96, 8192)
+    a_out = {k: v[:half] for k, v in am_out.items()}
+
+    w_h0 = _wass_sinkhorn_chunked(*_h0_pack(e_out), *_h0_pack(a_out),
+                                  chunk=w_chunk)
+    e1 = _h1_pack(e_out)
+    am1 = _h1_pack(am_out)
+    e1x2 = tuple(jnp.concatenate([v, v], axis=0) for v in e1)
+    w_both = _wass_sinkhorn_chunked(*e1x2, *am1, chunk=w_chunk)
+
+    out = _comparison_stats_program(
+        w_h0, w_both[:half], w_both[half:], e_out["features"],
+        a_out["features"], kmask, n_win_e, mis["n_win"], K)
+    out.update(tau=aud["tau"], n_pair=jnp.minimum(n_pair, K),
+               overflow=(jnp.sum(e_out["overflow"])
+                         + jnp.sum(am_out["overflow"])))
+    return out
 
 
 # ─────────────────────────────────────────────────────────────────────────────

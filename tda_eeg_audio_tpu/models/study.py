@@ -26,6 +26,7 @@ import jax.numpy as jnp
 from ..config import PipelineConfig, DEFAULT_CONFIG, FREQ_BANDS, GOOD_ELECTRODES
 from . import programs, classify, homology_exec
 from ..ops import stats as dstats
+from ..utils.profiling import GLOBAL_TIMES
 
 BAND_NAMES = list(FREQ_BANDS)
 N_BANDS = len(BAND_NAMES)
@@ -60,10 +61,32 @@ class StudyRunner:
 
     # ---------------- data staging ----------------
 
+    def _safe_load(self, i: int) -> dict:
+        """Per-file failure isolation: corrupt recordings are zeroed out
+        (0 effective windows) and recorded in self.failed_files — the
+        reference's per-file try/except + failed list
+        (notebook 1 cell 3 raw :162-179; SURVEY §5)."""
+        try:
+            return self.ds.load(i)
+        except Exception as e:
+            fn, subj, cond = self.ds.index[i]
+            if not hasattr(self, "failed_files"):
+                self.failed_files = []
+            self.failed_files.append((fn, repr(e)))
+            if self.verbose:
+                print(f"  LOAD FAILED {fn}: {e!r}")
+            return dict(eeg_raw=np.zeros((65, 250), np.float32),
+                        audio=np.zeros(44100, np.float32),
+                        filename=fn, subject=subj, condition=cond)
+
     def _load_batch(self, idxs):
+        """Stage a batch to padded arrays.  Per-file failures are isolated —
+        the recording is zeroed out, masked (0 samples ⇒ 0 windows) and
+        recorded in self.failed_files, mirroring the reference's per-file
+        try/except + failed list (notebook 1 cell 3; SURVEY §5)."""
         eegs, audios, ns_e, ns_a, metas = [], [], [], [], []
         for i in idxs:
-            rec = self.ds.load(i)
+            rec = self._safe_load(i)
             eeg = rec["eeg_raw"][list(GOOD_ELECTRODES)]
             # derive fs_eeg from audio duration (reference notebook 1 cell 1)
             n_e = eeg.shape[1]
@@ -202,7 +225,7 @@ class StudyRunner:
         # pass 1: window counts (for "min" equalization)
         counts = {}
         for i in all_idx:
-            rec = self.ds.load(i)
+            rec = self._safe_load(i)
             n_e = min(rec["eeg_raw"].shape[1], T_EEG_PAD)
             counts[i] = max((n_e - win) // step + 1, 0)
         min_windows = min(c for c in counts.values() if c > 0)
@@ -450,7 +473,7 @@ class StudyRunner:
                     ns_mis[bi_] = ns_a[bi_]
                 else:
                     has_mis[bi_] = True
-                    rec = self.ds.load(j)
+                    rec = self._safe_load(j)
                     n_a_ = min(len(rec["audio"]), mis_audio.shape[1])
                     mis_audio[bi_, :n_a_] = rec["audio"][:n_a_]
                     ns_mis[bi_] = n_a_
@@ -821,7 +844,8 @@ class StudyRunner:
 
     def run_classification(self, n_permutations: int | None = None,
                            n_bootstrap: int | None = None) -> dict:
-        X, y, subjects, filenames, meta = self.compute_feature_dataset()
+        with GLOBAL_TIMES.stage("features", items=len(self.ds)):
+            X, y, subjects, filenames, meta = self.compute_feature_dataset()
         res = classify.run_classification(
             X, y, subjects, classify.feature_names_220(), self.cfg,
             n_permutations=n_permutations, n_bootstrap=n_bootstrap,
