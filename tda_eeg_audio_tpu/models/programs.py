@@ -340,7 +340,7 @@ def _diagrams_chunked_host(dm, n_pts, thresh, chunk, na_max, step_budget):
 def comparison_program(eeg, n_e, audio, n_a, mis_audio, n_mis,
                        cfg: PipelineConfig = DEFAULT_CONFIG,
                        n_win_max: int = 90, n_rs_max: int = 5900,
-                       K: int = 15, eeg_chunk: int = 256, aud_chunk: int = 32,
+                       K: int = 15, eeg_chunk: int = 256, aud_chunk: int = 64,
                        w_chunk: int = 512):
     """EEG↔audio comparison + matched/mismatched control for one batch.
 
@@ -466,7 +466,8 @@ def audio_window_diagrams(dm: jnp.ndarray, n_pts: jnp.ndarray,
     Windows with < 3 valid points get the reference's degenerate [[0, 0]]
     sentinel diagrams (scripts/utils.py:125-126).
     """
-    out = h1_diagrams(dm, n=dm.shape[-1], thresh=thresh, na_max=na_max,
+    out = h1_diagrams(dm, n_pts.astype(jnp.int32), n=dm.shape[-1],
+                      thresh=thresh, na_max=na_max,
                       h1_max=h1_max, step_budget=step_budget)
     degenerate = n_pts < 3
     # H0: essential = components among valid points = n_pts − n_tree

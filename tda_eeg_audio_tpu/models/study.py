@@ -494,7 +494,7 @@ class StudyRunner:
                 jnp.asarray(ns_a), jnp.asarray(mis_audio), jnp.asarray(ns_mis),
                 cfg, N_WIN_MAX, N_RS_MAX, K_CMP,
                 eeg_chunk=min(self.tda_chunk, 256),
-                aud_chunk=max(min(self.tda_chunk // 8, 64), 16))
+                aud_chunk=max(min(self.tda_chunk // 4, 64), 16))
             pending.append((out, idxs, metas, has_mis))
             while len(pending) > 2:
                 self._drain_fused(pending.pop(0), rows, FEATS)

@@ -119,46 +119,50 @@ def _prim_forest(key_mat: jnp.ndarray) -> jnp.ndarray:
     return tree
 
 
-@partial(jax.jit, static_argnames=("n", "thresh", "na_max", "h1_max", "step_budget"))
-def h1_diagrams(dm: jnp.ndarray, *, n: int, thresh: float, na_max: int = 96,
-                h1_max: int = 96, step_budget: int = 4096):
-    """Batched exact H1 persistence diagrams (see module docstring).
+def _phase1(dm, n: int, thresh: float, na_max: int, n_pts=None):
+    """Edge ranks, Prim forest, apparent-pairs sieve, H0 bars, creator list.
 
-    dm: (B, n, n) symmetric distances, zero diag (padding points must carry
-    distances > thresh so their simplices fall outside the complex).
+    Shared by the bitset and sorted-list reduction back ends.
 
-    Returns dict:
-      births, deaths: (B, h1_max) f32 (death = +inf for essential classes)
-      mask:           (B, h1_max) bool — visible bars (death > birth)
-      n_essential:    (B,) int32
-      h0_deaths:      (B, n-1) f32 — MST merge weights by rank (+inf padding)
-      h0_mask:        (B, n-1) bool — finite, nonzero, ≤ thresh merges
-      n_tree:         (B,) int32 — in-complex MST edges (for H0 essential count)
-      overflow:       (B,) bool — na_max/step budget exceeded
-    """
+    Enclosing-radius truncation (the classic ripser optimization): with
+    r_enc = min_i max_j d(i, j) over valid points, every visible H1 bar is
+    born AND dies at weights ≤ r_enc (at r_enc some vertex cones off the
+    whole cloud: any cycle bounds via triangles through it, and any later
+    edge (a,b) is filled by (a,b,c) at the same weight ⇒ zero persistence).
+    H0 is likewise complete by r_enc (the cone's star spans everything), so
+    truncating the complex at min(thresh, r_enc) is EXACT for the visible
+    diagram while shrinking the edge/triangle space — on audio Takens
+    clouds to ~70-90 % of the edges, with quadratically fewer triangles.
+    n_pts: (B,) valid-point counts (points padded at the END), or None for
+    all-valid."""
     st = static_tables(n)
     m = st["m"]
     iu = jnp.asarray(st["iu"]); ju = jnp.asarray(st["ju"])
     flat_ut = jnp.asarray(st["flat_ut"])
     edge_id_flat = jnp.asarray(st["edge_id_flat"])
     B = dm.shape[0]
-    bi = jnp.arange(B)
-    KS = m * n                       # bit-key space
-    W = (KS + 31) // 32              # bitset words per column
-    varange = jnp.arange(n, dtype=jnp.int32)
 
-    # ---------------- phase 1: edge ranks + sieve (no triangle tensors) -----
+    # enclosing radius over valid points
+    if n_pts is None:
+        valid = jnp.ones((B, n), bool)
+    else:
+        valid = jnp.arange(n)[None, :] < n_pts[:, None]
+    vv = valid[:, :, None] & valid[:, None, :]
+    row_max = jnp.max(jnp.where(vv, dm, -jnp.inf), axis=-1)       # (B, n)
+    r_enc = jnp.min(jnp.where(valid, row_max, jnp.inf), axis=-1)  # (B,)
+    eff_thresh = jnp.minimum(jnp.float32(thresh),
+                             jnp.where(jnp.isfinite(r_enc), r_enc, thresh))
+
     w = dm.reshape(B, n * n)[:, flat_ut].astype(jnp.float32)      # (B, m)
     ew_r, e_sort = _sort_with_payload(w, _iota_like(w))           # by rank
     _, e_rank = _sort_with_payload(e_sort, _iota_like(e_sort))    # static → rank
-    m_cx = jnp.sum(ew_r <= thresh, axis=-1).astype(jnp.int32)     # (B,)
+    m_cx = jnp.sum(ew_r <= eff_thresh[:, None], axis=-1).astype(jnp.int32)
     in_cx_r = _iota_like(ew_r) < m_cx[:, None]
 
     # (n, n) rank matrix (BIG on the diagonal) via static gather
     e_rank_pad = jnp.concatenate(
         [e_rank, jnp.full((B, 1), BIG, jnp.int32)], axis=-1)
     rank_mat = e_rank_pad[:, edge_id_flat].reshape(B, n, n)
-    rank_flat = rank_mat.reshape(B, n * n)
 
     # spanning forest on in-complex ranks → positivity + H0
     key_mat = jnp.where(rank_mat < m_cx[:, None, None], rank_mat, BIG)
@@ -196,6 +200,43 @@ def h1_diagrams(dm: jnp.ndarray, *, n: int, thresh: float, na_max: int = 96,
     na_key = jnp.where(na_mask, _iota_like(ew_r), -1)
     na_list = jnp.sort(na_key, axis=-1)[:, ::-1][:, :na_max]      # (B, na_max)
     overflow_na = n_na > na_max
+    return dict(m=m, m_cx=m_cx, ew_r=ew_r, rank_mat=rank_mat,
+                iu_r=iu_r, ju_r=ju_r, vstar_r=vstar_r,
+                apparent_r=apparent_r, na_list=na_list,
+                overflow_na=overflow_na, h0_deaths=h0_deaths,
+                h0_mask=h0_mask, n_tree=n_tree)
+
+
+@partial(jax.jit, static_argnames=("n", "thresh", "na_max", "h1_max", "step_budget"))
+def h1_diagrams(dm: jnp.ndarray, n_pts: jnp.ndarray | None = None, *, n: int,
+                thresh: float, na_max: int = 96,
+                h1_max: int = 96, step_budget: int = 4096):
+    """Batched exact H1 persistence diagrams (see module docstring).
+
+    dm: (B, n, n) symmetric distances, zero diag (padding points must carry
+    distances > thresh so their simplices fall outside the complex).
+
+    Returns dict:
+      births, deaths: (B, h1_max) f32 (death = +inf for essential classes)
+      mask:           (B, h1_max) bool — visible bars (death > birth)
+      n_essential:    (B,) int32
+      h0_deaths:      (B, n-1) f32 — MST merge weights by rank (+inf padding)
+      h0_mask:        (B, n-1) bool — finite, nonzero, ≤ thresh merges
+      n_tree:         (B,) int32 — in-complex MST edges (for H0 essential count)
+      overflow:       (B,) bool — na_max/step budget exceeded
+    """
+    B = dm.shape[0]
+    bi = jnp.arange(B)
+    varange = jnp.arange(n, dtype=jnp.int32)
+    ph = _phase1(dm, n, thresh, na_max, n_pts)
+    m = ph["m"]
+    m_cx = ph["m_cx"]; ew_r = ph["ew_r"]; rank_mat = ph["rank_mat"]
+    iu_r = ph["iu_r"]; ju_r = ph["ju_r"]; vstar_r = ph["vstar_r"]
+    apparent_r = ph["apparent_r"]; na_list = ph["na_list"]
+    overflow_na = ph["overflow_na"]
+    h0_deaths = ph["h0_deaths"]; h0_mask = ph["h0_mask"]; n_tree = ph["n_tree"]
+    KS = m * n                       # bit-key space
+    W = (KS + 31) // 32              # bitset words per column
 
     # ---------------- phase 2: lockstep reduction ----------------
     # NOTE on this platform: per-batch-element dynamic gather/scatter lowers
@@ -333,3 +374,159 @@ def h1_diagrams(dm: jnp.ndarray, *, n: int, thresh: float, na_max: int = 96,
     return dict(births=births, deaths=deaths, mask=mask,
                 n_essential=n_essential, overflow=overflow,
                 h0_deaths=h0_deaths, h0_mask=h0_mask, n_tree=n_tree)
+
+
+SENT = np.int32(2**31 - 1)  # list padding sentinel (sorts to the end)
+
+
+@partial(jax.jit, static_argnames=("n", "thresh", "na_max", "h1_max",
+                                   "step_budget", "col_width"))
+def h1_diagrams_sparse(dm: jnp.ndarray, n_pts: jnp.ndarray | None = None, *,
+                       n: int, thresh: float,
+                       na_max: int = 96, h1_max: int = 96,
+                       step_budget: int = 8192, col_width: int = 768):
+    """Exact H1 via the same lockstep cohomology reduction as `h1_diagrams`,
+    with columns held as SORTED KEY LISTS instead of bitsets.
+
+    The bitset back end costs O(n·W) = O(n⁴/32) per lockstep step to build a
+    coboundary (the compare-reduce over the (g, v)-key bit space); at the
+    audio branch's n = 124 Takens clouds that term dominates the whole
+    study.  A column here is a sorted (col_width,)-int32 list of keys
+    (g·n + v, padded with SENT); per step the kernel does two (B, 2·K)
+    sorts — XOR = merge + cancel-equal-pairs, pivot = list head — which is
+    ~60× less work per window at n = 124 and exactly the same pairing.
+    Columns exceeding col_width flag `overflow` (→ host-engine fallback).
+    """
+    B = dm.shape[0]
+    bi = jnp.arange(B)
+    varange = jnp.arange(n, dtype=jnp.int32)
+    ph = _phase1(dm, n, thresh, na_max, n_pts)
+    m_cx = ph["m_cx"]; ew_r = ph["ew_r"]; rank_mat = ph["rank_mat"]
+    iu_r = ph["iu_r"]; ju_r = ph["ju_r"]; vstar_r = ph["vstar_r"]
+    apparent_r = ph["apparent_r"]; na_list = ph["na_list"]
+    K = col_width
+
+    def bsel(table, idx):
+        L = table.shape[-1]
+        io = jnp.arange(L, dtype=jnp.int32)
+        sel = io[None, :] == idx[:, None]
+        if table.dtype == jnp.bool_:
+            return jnp.any(sel & table, axis=-1)
+        return jnp.sum(jnp.where(sel, table, 0), axis=-1)
+
+    def cobd_keys(g):
+        """(B,) edge ranks → (B, n) coboundary keys (SENT-padded, unsorted)."""
+        i_g = bsel(iu_r, g)
+        j_g = bsel(ju_r, g)
+        sel_i = (varange[None, :] == i_g[:, None])[:, :, None]
+        sel_j = (varange[None, :] == j_g[:, None])[:, :, None]
+        row_i = jnp.sum(jnp.where(sel_i, rank_mat, 0), axis=1)     # (B, n)
+        row_j = jnp.sum(jnp.where(sel_j, rank_mat, 0), axis=1)
+        gmax = jnp.maximum(g[:, None], jnp.maximum(row_i, row_j))
+        valid = gmax < m_cx[:, None]
+        gmax_c = jnp.minimum(gmax, m_cx[:, None])                  # overflow-safe
+        opp = jnp.where(gmax == row_i, j_g[:, None],
+                        jnp.where(gmax == row_j, i_g[:, None], varange[None, :]))
+        return jnp.where(valid, gmax_c * n + opp, SENT)
+
+    SENT_ROW = jnp.full((B, K), SENT, jnp.int32)
+    first_edge = na_list[:, 0]
+    active0 = first_edge >= 0
+    cob0 = cobd_keys(jnp.maximum(first_edge, 0))
+    col0 = jnp.sort(jnp.where(
+        active0[:, None],
+        jnp.concatenate([cob0, jnp.full((B, K - n), SENT, jnp.int32)], 1),
+        SENT_ROW), axis=-1)
+    state = dict(
+        col=col0, cur=jnp.zeros((B,), jnp.int32), active=active0,
+        stored=jnp.full((B, na_max, K), SENT, jnp.int32),
+        pair_p=jnp.full((B, na_max), -1, jnp.int32),
+        essential=jnp.zeros((B, na_max), bool),
+        overflow_col=jnp.zeros((B,), bool),
+        steps=jnp.int32(0),
+    )
+
+    na_iota = jnp.arange(na_max, dtype=jnp.int32)
+
+    def cond(s):
+        return jnp.any(s["active"]) & (s["steps"] < step_budget)
+
+    def body(s):
+        col, cur, active = s["col"], s["cur"], s["active"]
+        p = col[:, 0]
+        nonzero = p != SENT
+        p_safe = jnp.where(nonzero, p, 0)
+        g = p_safe // n
+        v = p_safe - g * n
+        vs_g = bsel(vstar_r, g)
+        app_g = bsel(apparent_r, g)
+        own_app = nonzero & app_g & (vs_g == v)
+        match = (s["pair_p"] == p_safe[:, None]) & (s["pair_p"] >= 0) \
+            & nonzero[:, None]                                     # (B, na)
+        own_na = jnp.any(match, -1) & ~own_app
+        slot = jnp.argmax(match, -1).astype(jnp.int32)
+        claimed = own_app | own_na
+
+        do_xor = active & claimed
+        finish = active & ~claimed
+        nxt_cur = jnp.where(finish, cur + 1, cur)
+        nxt_edge = bsel(na_list, jnp.minimum(nxt_cur, na_max - 1))
+        still = finish & (nxt_cur < na_max) & (nxt_edge >= 0)
+
+        # one coboundary build serves the apparent-XOR and fresh-column cases
+        cob_g = jnp.where(do_xor & own_app, g, jnp.maximum(nxt_edge, 0))
+        cob = cobd_keys(cob_g)                                     # (B, n)
+        cob_K = jnp.concatenate(
+            [cob, jnp.full((B, K - n), SENT, jnp.int32)], axis=1)  # (B, K)
+        stc = jnp.take_along_axis(
+            s["stored"], slot[:, None, None], axis=1)[:, 0]        # (B, K)
+        operand = jnp.where((do_xor & own_na)[:, None], stc,
+                            jnp.where((do_xor & own_app)[:, None] |
+                                      still[:, None], cob_K, SENT_ROW))
+        col_in = jnp.where(still[:, None], SENT_ROW, col)
+
+        merged = jnp.sort(jnp.concatenate([col_in, operand], 1), axis=-1)
+        dup = (merged[:, :-1] == merged[:, 1:]) & (merged[:, :-1] != SENT)
+        padF = jnp.zeros((B, 1), bool)
+        kill = (jnp.concatenate([dup, padF], 1)
+                | jnp.concatenate([padF, dup], 1))
+        vals = jnp.where(kill, SENT, merged)
+        new2 = jnp.sort(vals, axis=-1)                             # (B, 2K)
+        overflow_col = s["overflow_col"] | (do_xor & (new2[:, K] != SENT))
+        new_col = jnp.where((do_xor | still)[:, None], new2[:, :K], col)
+
+        # bookkeeping for finished columns
+        sel_cur = na_iota[None, :] == cur[:, None]
+        fn_ = (finish & nonzero)[:, None]
+        pair_p = jnp.where(sel_cur & fn_, p[:, None], s["pair_p"])
+        essential = s["essential"] | (sel_cur & (finish & ~nonzero)[:, None])
+        stored = s["stored"].at[bi, jnp.where(finish & nonzero, cur, na_max)
+                                ].set(col, mode="drop")
+
+        active = jnp.where(finish, still, active)
+        return dict(col=new_col, cur=nxt_cur, active=active, stored=stored,
+                    pair_p=pair_p, essential=essential,
+                    overflow_col=overflow_col, steps=s["steps"] + 1)
+
+    final = jax.lax.while_loop(cond, body, state)
+
+    na_edge = jnp.maximum(na_list, 0)
+    births = jnp.take_along_axis(ew_r, na_edge, axis=-1)
+    g_pair = jnp.maximum(final["pair_p"], 0) // n
+    deaths = jnp.take_along_axis(ew_r, g_pair, axis=-1)
+    ess = final["essential"] & (na_list >= 0)
+    deaths = jnp.where(ess, jnp.inf, deaths)
+    vis = (na_list >= 0) & ((final["pair_p"] >= 0) | ess) & (deaths > births)
+
+    order = jnp.argsort(~vis, axis=-1, stable=True)[:, :h1_max]
+    births = jnp.take_along_axis(births, order, axis=-1)
+    deaths = jnp.take_along_axis(deaths, order, axis=-1)
+    mask = jnp.take_along_axis(vis, order, axis=-1)
+    n_essential = jnp.sum(ess, axis=-1).astype(jnp.int32)
+    overflow = (ph["overflow_na"] | final["active"] | final["overflow_col"]
+                | (jnp.sum(vis, axis=-1) > h1_max))
+
+    return dict(births=births, deaths=deaths, mask=mask,
+                n_essential=n_essential, overflow=overflow,
+                h0_deaths=ph["h0_deaths"], h0_mask=ph["h0_mask"],
+                n_tree=ph["n_tree"])

@@ -163,3 +163,64 @@ def test_aggregate_mean_std():
     np.testing.assert_allclose(out[0, :, 1], x[0].std(0), rtol=1e-4, atol=1e-6)
     np.testing.assert_allclose(out[1, :, 0], x[1, :3].mean(0), rtol=1e-5)
     np.testing.assert_allclose(out[1, :, 1], x[1, :3].std(0), rtol=1e-4, atol=1e-6)
+
+
+def _dgm_set(births, deaths, mask):
+    """Visible (finite+infinite) bars as a sorted multiset for comparison."""
+    out = []
+    for b, d, m in zip(births, deaths, mask):
+        if m:
+            out.append((round(float(b), 5),
+                        float("inf") if np.isinf(d) else round(float(d), 5)))
+    return sorted(out)
+
+
+def test_sparse_reduction_matches_bitset():
+    """Sorted-list back end (experimental) == bitset back end, EEG-shaped."""
+    from tda_eeg_audio_tpu.ops.homology_h1 import (h1_diagrams,
+                                                   h1_diagrams_sparse)
+
+    rng = np.random.default_rng(7)
+    dms = np.stack([_corr_dm(rng) for _ in range(6)]).astype(np.float32)
+    a = h1_diagrams(jnp.asarray(dms), n=47, thresh=2.0, na_max=128,
+                    h1_max=128, step_budget=4096)
+    b = h1_diagrams_sparse(jnp.asarray(dms), n=47, thresh=2.0, na_max=128,
+                           h1_max=128, step_budget=4096, col_width=2048)
+    for i in range(len(dms)):
+        assert _dgm_set(*(np.asarray(a[k])[i] for k in
+                          ("births", "deaths", "mask"))) == \
+            _dgm_set(*(np.asarray(b[k])[i] for k in
+                       ("births", "deaths", "mask")))
+
+
+def test_enclosing_radius_truncation_exact():
+    """min(thresh, r_enc) truncation leaves visible H0/H1 bars unchanged
+    (ripser's enclosing-radius optimization) — checked vs the oracle at the
+    UNtruncated threshold, including end-padded point clouds."""
+    from tda_eeg_audio_tpu.ops.homology_h1 import h1_diagrams
+
+    rng = np.random.default_rng(11)
+    P, n_valid = 60, 41
+    pts = rng.random((4, n_valid, 3))
+    dms = np.full((4, P, P), 3.0, np.float32)
+    for i in range(4):
+        d = np.sqrt(((pts[i][:, None] - pts[i][None]) ** 2).sum(-1))
+        dms[i, :n_valid, :n_valid] = d
+        np.fill_diagonal(dms[i], 0.0)
+    n_pts = jnp.full((4,), n_valid, jnp.int32)
+    out = h1_diagrams(jnp.asarray(dms), n_pts, n=P, thresh=2.0, na_max=128,
+                      h1_max=128, step_budget=8192)
+    assert not np.asarray(out["overflow"]).any()
+    for i in range(4):
+        ref_h0, ref_h1 = rips_persistence_dm(
+            dms[i, :n_valid, :n_valid].astype(np.float64), thresh=2.0)
+        got = _dgm_set(*(np.asarray(out[k])[i] for k in
+                         ("births", "deaths", "mask")))
+        ref = sorted((round(b, 5), round(d, 5)) for b, d in ref_h1
+                     if d > b and np.isfinite(d))
+        assert got == ref, (i, got, ref)
+        # H0 deaths identical too (MST ≤ r_enc)
+        hd = np.sort(np.asarray(out["h0_deaths"])[i][
+            np.asarray(out["h0_mask"])[i]])
+        rd = np.sort([d for b, d in ref_h0 if np.isfinite(d) and d > 0])
+        np.testing.assert_allclose(hd, rd, rtol=1e-5)
