@@ -46,8 +46,12 @@ def run_eda(dataset, cfg, results_dir=None, eeg_batch: int = 16,
             ns_e.append(n_e)
             metas.append(rec)
         x = jnp.asarray(np.stack(eegs))
-        # Welch PSD per channel on device, then mean channel power per band
-        freqs, pxx = tsig.welch_psd(x, fs=fs, nperseg=min(fs, t_pad))
+        # Welch PSD per channel on device, then mean channel power per band.
+        # Segments are masked by each recording's true length — averaging the
+        # zero-padded tail would bias fast (shorter) recordings low.
+        freqs, pxx = tsig.welch_psd(
+            x, fs=fs, nperseg=min(fs, t_pad),
+            n=jnp.asarray(np.array(ns_e))[:, None])
         freqs = np.array(freqs)
         pxx = np.array(pxx)                                  # (B, C, F)
         for bi, (i, rec) in enumerate(zip(idxs, metas)):

@@ -272,9 +272,15 @@ double persim_wasserstein_one(const float* b1, const float* d1, int m,
   for (int i = 0; i < m; ++i)
     for (int j = 0; j < m; ++j)
       D[(size_t)i * S + nn + j] = (i == j) ? 0.5 * ((double)d1[i] - b1[i]) : mx;
+  // persim prices each non-own-diagonal block at np.max(D) *at fill time* —
+  // the second (dgm2) block therefore also sees dgm1's diagonal projections
+  // (oracle/wasserstein_ref.py persim_cost_matrix lines 34-39)
+  double mx2 = mx;
+  for (int i = 0; i < m; ++i)
+    mx2 = std::max(mx2, 0.5 * ((double)d1[i] - b1[i]));
   for (int i = 0; i < nn; ++i)
     for (int j = 0; j < nn; ++j)
-      D[(size_t)(m + i) * S + j] = (i == j) ? 0.5 * ((double)d2[i] - b2[i]) : mx;
+      D[(size_t)(m + i) * S + j] = (i == j) ? 0.5 * ((double)d2[i] - b2[i]) : mx2;
   // lower-right block stays 0
   return lap_jv(S, D);
 }

@@ -225,6 +225,11 @@ def h1_diagrams(dm: jnp.ndarray, n_pts: jnp.ndarray | None = None, *, n: int,
       n_tree:         (B,) int32 — in-complex MST edges (for H0 essential count)
       overflow:       (B,) bool — na_max/step budget exceeded
     """
+    # claims stores non-apparent slot indices (0..na_max-1) as int8; beyond
+    # 128 slots the table would silently wrap — fail at trace time instead.
+    if na_max > 128:
+        raise ValueError(f"na_max={na_max} > 128: int8 claims table would "
+                         "overflow; widen claims to int16 to raise this")
     B = dm.shape[0]
     bi = jnp.arange(B)
     varange = jnp.arange(n, dtype=jnp.int32)
@@ -373,7 +378,9 @@ def h1_diagrams(dm: jnp.ndarray, n_pts: jnp.ndarray | None = None, *, n: int,
 
     return dict(births=births, deaths=deaths, mask=mask,
                 n_essential=n_essential, overflow=overflow,
-                h0_deaths=h0_deaths, h0_mask=h0_mask, n_tree=n_tree)
+                h0_deaths=h0_deaths, h0_mask=h0_mask, n_tree=n_tree,
+                steps=final["steps"],
+                n_na=jnp.sum(na_list >= 0, axis=-1).astype(jnp.int32))
 
 
 SENT = np.int32(2**31 - 1)  # list padding sentinel (sorts to the end)

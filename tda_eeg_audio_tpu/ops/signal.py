@@ -259,7 +259,9 @@ def resample_poly_device(x: jnp.ndarray, n_in: jnp.ndarray, n_out_max: int,
     h_pad = np.concatenate([h, np.zeros(up * (n_taps_phase + 2))])
     h_mat = h_pad[np.clip(h_idx, 0, len(h_pad) - 1)]
     h_mat[(h_idx < 0) | (h_idx >= len(h))] = 0.0
-    valid_in = in_idx >= 0
+    # taps outside [0, T_pad) must read scipy's zero extension, not a clamped
+    # sample — n_in == T_pad (buffer exactly full) otherwise corrupts the tail
+    valid_in = (in_idx >= 0) & (in_idx < T_pad)
     in_idx_c = np.clip(in_idx, 0, T_pad - 1)
     h_mat = jnp.asarray(h_mat * valid_in, dtype=x.dtype)  # (n_out_max, n_taps_phase)
     in_idx_j = jnp.asarray(in_idx_c)
@@ -519,13 +521,18 @@ def design_butter_band_bank(fs: int, order: int = 4):
 
 
 def welch_psd(x: jnp.ndarray, fs: float = 250.0, nperseg: int = 256,
-              noverlap: int | None = None) -> tuple[jnp.ndarray, jnp.ndarray]:
+              noverlap: int | None = None,
+              n: jnp.ndarray | None = None) -> tuple[jnp.ndarray, jnp.ndarray]:
     """Welch power spectral density along the last axis (scipy semantics:
     Hann window, per-segment constant detrend, density scaling, one-sided).
 
     Replaces the EDA notebook's scipy.signal.welch
     (reference notebooks/0_eda.ipynb PSD cells) with a batched device op:
     x (..., T) → (freqs (F,), Pxx (..., F)), F = nperseg//2 + 1.
+
+    n: optional true lengths broadcastable to x.shape[:-1].  Only segments
+    fully inside [0, n) are averaged — zero-padded tails would otherwise
+    attenuate each recording's power by its padding fraction.
     """
     if noverlap is None:
         noverlap = nperseg // 2
@@ -547,7 +554,15 @@ def welch_psd(x: jnp.ndarray, fs: float = 250.0, nperseg: int = 256,
         dbl = dbl.at[-1].set(0.5)
     Pxx = Pxx * 2.0 * dbl
     freqs = jnp.fft.rfftfreq(nperseg, 1.0 / fs)
-    return freqs, jnp.mean(Pxx, axis=-2)
+    if n is None:
+        return freqs, jnp.mean(Pxx, axis=-2)
+    ends = jnp.arange(n_seg) * step + nperseg            # (n_seg,)
+    n_b = jnp.broadcast_to(jnp.asarray(n), x.shape[:-1])[..., None]
+    smask = (ends[None, :] <= n_b)                       # (..., n_seg)
+    smask = smask.at[..., 0].set(smask[..., 0] | ~jnp.any(smask, -1))
+    w_ = smask[..., None].astype(Pxx.dtype)
+    return freqs, (jnp.sum(Pxx * w_, axis=-2)
+                   / jnp.maximum(jnp.sum(w_, axis=-2), 1.0))
 
 
 def bandpass_bank_iir_scan(x: jnp.ndarray, n: jnp.ndarray, fs: int,

@@ -8,15 +8,14 @@ Replaces persim's Hungarian-based matching (reference scripts/utils.py:12,
     diagonal slots, zero diagonal↔diagonal block), extended with padding rows
     and columns that are *forced* to match each other at zero cost, so the
     valid sub-assignment equals persim's exactly.
-  * `auction_solve` — Bertsekas forward auction with ε-scaling, batched over
-    pairs; yields an assignment whose cost is within S·ε_final of optimal
-    (ε_final ~ 1e-6·scale ⇒ error below the 1e-4 tolerance the downstream
-    Wilcoxon/FDR statistics are gated at).  Fully vectorized: each iteration
-    is a (B, S, S) reduction + conflict resolution; no per-pair control flow.
   * `sinkhorn_cost` — entropic OT on the same cost matrix (fast approximate
-    path; ε-annealed, log-domain).
+    device path; ε-annealed, log-domain).
 
-The host Hungarian oracle (oracle/wasserstein_ref.py) is the parity anchor.
+The exact production solver is the native C++ Jonker–Volgenant engine
+(native/tda_engine.cpp); the host Hungarian oracle
+(oracle/wasserstein_ref.py) is the parity anchor.  (An experimental batched
+auction solver lived here in round 1; it had a phase-reset price-overshoot
+bug and no call sites, so it was removed rather than shipped broken.)
 """
 
 from __future__ import annotations
@@ -47,6 +46,12 @@ def build_cost_matrix(b1, d1, m1, b2, d2, m2, big: float = 1e9):
     )
     vv = m1[:, :, None] & m2[:, None, :]
     blocker = jnp.max(jnp.where(vv, dul, 0.0), axis=(1, 2))[:, None, None]
+    # persim prices each non-own-diagonal block at np.max(D) at FILL time: the
+    # second (side-2) block also sees side-1's diagonal projections
+    # (oracle/wasserstein_ref.py persim_cost_matrix)
+    blocker2 = jnp.maximum(
+        blocker,
+        jnp.max(jnp.where(m1, 0.5 * (d1 - b1), 0.0), axis=1)[:, None, None])
 
     eye1 = jnp.eye(K1, dtype=bool)[None]
     eye2 = jnp.eye(K2, dtype=bool)[None]
@@ -60,7 +65,7 @@ def build_cost_matrix(b1, d1, m1, b2, d2, m2, big: float = 1e9):
                    jnp.where(m1[:, :, None] & m1[:, None, :], blocker, inf_))
     # bottom-left: side-2 helpers vs side-2 points
     bl = jnp.where(eye2, jnp.where(m2[:, None, :], diag2, 0.0),
-                   jnp.where(m2[:, :, None] & m2[:, None, :], blocker, inf_))
+                   jnp.where(m2[:, :, None] & m2[:, None, :], blocker2, inf_))
     # bottom-right: helpers vs slots — free for valid×valid (persim zero
     # block); pads confined to the forced pad↔pad zero entries above
     br = jnp.where(m2[:, :, None] & m1[:, None, :], 0.0, inf_)
@@ -68,201 +73,6 @@ def build_cost_matrix(b1, d1, m1, b2, d2, m2, big: float = 1e9):
     top = jnp.concatenate([tl, tr], axis=2)
     bot = jnp.concatenate([bl, br], axis=2)
     return jnp.concatenate([top, bot], axis=1)
-
-
-@partial(jax.jit, static_argnames=("n_phases", "iters_per_phase"))
-def auction_solve(D, n_phases: int = 10, iters_per_phase: int = 384):
-    """Batched ε-scaling forward auction for min-cost perfect assignment.
-
-    D: (B, S, S) f32 (entries may be big for forbidden matches).
-    Returns (cost (B,), assigned_col (B, S) int32, converged (B,) bool).
-    """
-    B, S, _ = D.shape
-    a = -D  # maximize profit
-    scale = jnp.maximum(jnp.max(jnp.abs(jnp.where(D < 1e8, D, 0.0)),
-                                axis=(1, 2)), 1e-6)  # (B,)
-    eps_final = 5e-8 * scale * (128.0 / S)  # S·ε_final ≲ 1e-5·scale
-    ri = jnp.arange(S)
-
-    def phase(carry, k):
-        prices, _, _ = carry
-        eps = jnp.maximum(scale / (5.0 ** k.astype(jnp.float32)) * 0.5, eps_final)
-        row_col = jnp.full((B, S), -1, jnp.int32)
-        col_row = jnp.full((B, S), -1, jnp.int32)
-
-        def cond(s):
-            row_col, col_row, prices, it = s
-            return jnp.any(row_col < 0) & (it < iters_per_phase)
-
-        def body(s):
-            row_col, col_row, prices, it = s
-            unass = row_col < 0                                   # (B, S)
-            v = a - prices[:, None, :]                            # (B, S, S)
-            best = jnp.max(v, axis=-1)
-            jstar = jnp.argmax(v, axis=-1).astype(jnp.int32)
-            v2 = jnp.where(ri[None, None, :] == jstar[:, :, None], NEG, v)
-            second = jnp.max(v2, axis=-1)
-            bid = best - second + eps[:, None]                    # ≥ eps
-            # column-wise winner among unassigned bidders
-            bid_mat = jnp.where(
-                unass[:, :, None] & (ri[None, None, :] == jstar[:, :, None]),
-                bid[:, :, None], NEG)                             # (B, rows, cols)
-            win_bid = jnp.max(bid_mat, axis=1)                    # (B, S cols)
-            win_row = jnp.argmax(bid_mat, axis=1).astype(jnp.int32)
-            touched = win_bid > NEG / 2
-            # raise prices
-            prices = jnp.where(touched, prices + win_bid, prices)
-            # unassign previous owners of touched columns
-            prev = jnp.where(touched, col_row, -1)
-            row_col = row_col.at[jnp.arange(B)[:, None],
-                                 jnp.where(prev >= 0, prev, S)].set(-1, mode="drop")
-            # assign winners
-            col_row = jnp.where(touched, win_row, col_row)
-            row_col = row_col.at[jnp.arange(B)[:, None],
-                                 jnp.where(touched, win_row, S)].set(
-                jnp.broadcast_to(ri[None], (B, S)).astype(jnp.int32), mode="drop")
-            return row_col, col_row, prices, it + 1
-
-        row_col, col_row, prices, it = jax.lax.while_loop(
-            cond, body, (row_col, col_row, prices, jnp.int32(0)))
-        done = ~jnp.any(row_col < 0, axis=-1)
-        return (prices, row_col, done), None
-
-    prices0 = jnp.zeros((B, S), jnp.float32)
-    (prices, row_col, done), _ = jax.lax.scan(
-        phase, (prices0, jnp.full((B, S), -1, jnp.int32),
-                jnp.zeros((B,), bool)),
-        jnp.arange(n_phases))
-    safe = jnp.maximum(row_col, 0)
-    cost = jnp.sum(jnp.take_along_axis(
-        D, safe[:, :, None], axis=-1)[:, :, 0] * (row_col >= 0), axis=-1)
-    return cost, row_col, done
-
-
-@partial(jax.jit, static_argnames=("n_phases", "iters_per_phase"))
-def auction_reduced(dul, diag1, diag2, m1, m2, n_phases: int = 7,
-                    iters_per_phase: int = 192):
-    """Diagram matching via auction on the REDUCED problem.
-
-    Instead of persim's (M+N)² matrix — whose interchangeable helper/slot
-    rows create massive cost ties and O(S)-iteration price wars — solve the
-    equivalent node-penalty matching: rows = side-1 points bidding for
-    side-2 points (cost DUL_ij − diag2_j) or their private diagonal skip
-    (cost diag1_i, uncontested), plus the constant Σ_j diag2_j.  Identical
-    optimum whenever the optimal persim matching projects points only onto
-    their own diagonals (always the case for persistence diagrams in
-    practice; the Hungarian oracle in tests guards this).
-
-    dul: (B, K1, K2); diag1 (B, K1); diag2 (B, K2); masks m1/m2.
-    Returns (cost (B,), converged (B,)).
-    """
-    B, K1, K2 = dul.shape
-    inf_ = jnp.float32(3e38)
-    cost = jnp.where(m1[:, :, None] & m2[:, None, :],
-                     dul - diag2[:, None, :], inf_)
-    a = -cost                                  # profit of taking object j
-    a_skip = -jnp.where(m1, diag1, 0.0)        # private skip profit
-    scale = jnp.maximum(
-        jnp.max(jnp.where(m1[:, :, None] & m2[:, None, :], jnp.abs(dul), 0.0),
-                axis=(1, 2)),
-        jnp.maximum(jnp.max(jnp.where(m1, diag1, 0.0), -1),
-                    jnp.max(jnp.where(m2, diag2, 0.0), -1)))
-    scale = jnp.maximum(scale, 1e-6)
-    eps_final = 1e-7 * scale
-    cj = jnp.arange(K2)
-
-    def phase(carry, k):
-        prices, _, _, _ = carry
-        kf = k.astype(jnp.float32)
-        eps = jnp.maximum(scale * 0.25 / (6.0 ** kf), eps_final)
-        # roll back the previous phase's +ε overshoot: with an outside option,
-        # stale inflated prices would make rows skip and strand objects
-        eps_prev = jnp.maximum(scale * 0.25 / (6.0 ** jnp.maximum(kf - 1, 0.0)),
-                               eps_final)
-        prices = jnp.where(k > 0,
-                           jnp.maximum(prices - eps_prev[:, None], 0.0), prices)
-        row_obj = jnp.full((B, K1), -1, jnp.int32)   # -2 = skip
-        obj_row = jnp.full((B, K2), -1, jnp.int32)
-
-        def cond(s):
-            row_obj, obj_row, prices, it = s
-            return jnp.any((row_obj == -1) & m1) & (it < iters_per_phase)
-
-        def body(s):
-            row_obj, obj_row, prices, it = s
-            unass = (row_obj == -1) & m1
-            v = a - prices[:, None, :]                       # (B, K1, K2)
-            best = jnp.max(v, axis=-1)
-            jstar = jnp.argmax(v, axis=-1).astype(jnp.int32)
-            v2 = jnp.where(cj[None, None, :] == jstar[:, :, None], -inf_, v)
-            second = jnp.maximum(jnp.max(v2, axis=-1), a_skip)
-            take_skip = a_skip >= best
-            # settle skips permanently
-            row_obj = jnp.where(unass & take_skip, -2, row_obj)
-            bid = best - second + eps[:, None]
-            bidding = unass & ~take_skip
-            bid_mat = jnp.where(
-                bidding[:, :, None] & (cj[None, None, :] == jstar[:, :, None]),
-                bid[:, :, None], -inf_)
-            win_bid = jnp.max(bid_mat, axis=1)
-            win_row = jnp.argmax(bid_mat, axis=1).astype(jnp.int32)
-            touched = win_bid > -inf_ / 2
-            prices = jnp.where(touched, prices + win_bid, prices)
-            prev = jnp.where(touched, obj_row, -1)
-            row_obj = row_obj.at[jnp.arange(B)[:, None],
-                                 jnp.where(prev >= 0, prev, K1)].set(
-                -1, mode="drop")
-            obj_row = jnp.where(touched, win_row, obj_row)
-            row_obj = row_obj.at[jnp.arange(B)[:, None],
-                                 jnp.where(touched, win_row, K1)].set(
-                jnp.broadcast_to(cj[None, :], (B, K2)).astype(jnp.int32),
-                mode="drop")
-            return row_obj, obj_row, prices, it + 1
-
-        row_obj, obj_row, prices, it = jax.lax.while_loop(
-            cond, body, (row_obj, obj_row, prices, jnp.int32(0)))
-        done = ~jnp.any((row_obj == -1) & m1, axis=-1)
-        return (prices, row_obj, obj_row, done), None
-
-    prices0 = jnp.zeros((B, K2), jnp.float32)
-    (prices, row_obj, obj_row, done), _ = jax.lax.scan(
-        phase, (prices0, jnp.full((B, K1), -1, jnp.int32),
-                jnp.full((B, K2), -1, jnp.int32), jnp.zeros((B,), bool)),
-        jnp.arange(n_phases))
-    matched = row_obj >= 0
-    obj_safe = jnp.maximum(row_obj, 0)
-    c_match = jnp.take_along_axis(cost, obj_safe[:, :, None], axis=-1)[:, :, 0]
-    total = (jnp.sum(jnp.where(matched & m1, c_match, 0.0), axis=-1)
-             + jnp.sum(jnp.where((row_obj == -2) & m1,
-                                 jnp.where(m1, diag1, 0.0), 0.0), axis=-1)
-             + jnp.sum(jnp.where(m2, diag2, 0.0), axis=-1))
-    return total, done
-
-
-def wasserstein_pairs(b1, d1, m1, b2, d2, m2, n_phases: int = 7,
-                      iters_per_phase: int = 192):
-    """persim-style Wasserstein for batched padded diagram pairs.
-
-    Masks must select FINITE bars only (reference safe_wasserstein drops
-    non-finite rows).  Empty diagrams are replaced by a single (0, 0) point
-    (reference scripts/utils.py:183-187).
-    Returns (dist (B,), converged (B,)).
-    """
-    def with_sentinel(b, d, m):
-        empty = ~jnp.any(m, axis=-1)
-        b = jnp.where(empty[:, None], 0.0, b)
-        d = jnp.where(empty[:, None], 0.0, d)
-        m = m.at[:, 0].set(m[:, 0] | empty)
-        return b, d, m
-
-    b1, d1, m1 = with_sentinel(b1, d1, m1)
-    b2, d2, m2 = with_sentinel(b2, d2, m2)
-    dul = jnp.maximum(jnp.abs(b1[:, :, None] - b2[:, None, :]),
-                      jnp.abs(d1[:, :, None] - d2[:, None, :]))
-    cost, done = auction_reduced(dul, 0.5 * (d1 - b1), 0.5 * (d2 - b2),
-                                 m1, m2, n_phases=n_phases,
-                                 iters_per_phase=iters_per_phase)
-    return cost, done
 
 
 @partial(jax.jit, static_argnames=("steps", "iters"))

@@ -106,6 +106,34 @@ def test_infinite_bars_must_be_premasked():
     np.testing.assert_allclose(np.array(dist_a), np.array(dist_b), atol=1e-6)
 
 
+def test_high_persistence_blocker():
+    """persim prices the SECOND diagonal block at np.max(D) after inserting
+    dgm1's projections: when max((d1-b1)/2) exceeds every cross distance the
+    engine must raise the dgm2-block blocker accordingly (oracle
+    persim_cost_matrix fills blocks sequentially)."""
+    # one huge-persistence bar in dgm1, tiny cross distances
+    g1 = np.array([[0.0, 10.0], [0.1, 0.2]])
+    g2 = np.array([[0.05, 0.15], [0.1, 0.18]])
+    ref = wasserstein(g1, g2)
+    K = 8
+    dist, done = wasserstein_pairs(
+        *(jnp.asarray(x[None]) for x in _pad(g1.astype(np.float32), K)),
+        *(jnp.asarray(x[None]) for x in _pad(g2.astype(np.float32), K)))
+    assert np.array(done).all()
+    np.testing.assert_allclose(float(np.array(dist)[0]), ref, rtol=1e-5, atol=1e-5)
+    # device Sinkhorn cost matrix must block the same way
+    b1, d1, m1 = _pad(g1.astype(np.float32), K)
+    b2, d2, m2 = _pad(g2.astype(np.float32), K)
+    from tda_eeg_audio_tpu.oracle.wasserstein_ref import persim_cost_matrix
+    D = np.array(build_cost_matrix(
+        *(jnp.asarray(x[None]) for x in (b1, d1, m1, b2, d2, m2))))[0]
+    Dref = persim_cost_matrix(g1, g2)
+    # valid sub-blocks: rows [0:2] x cols [0:2] (points), diagonal slots
+    np.testing.assert_allclose(D[:2, :2], Dref[:2, :2], atol=1e-6)
+    np.testing.assert_allclose(D[:2, K:K + 2], Dref[:2, 2:4], atol=1e-6)
+    np.testing.assert_allclose(D[K:K + 2, :2], Dref[2:4, :2], atol=1e-6)
+
+
 def test_sinkhorn_close_to_exact():
     rng = np.random.default_rng(4)
     g1 = _rand_dgm(rng, 8)
