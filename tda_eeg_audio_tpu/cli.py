@@ -155,6 +155,7 @@ def _dispatch(args, runner, out_dir: Path) -> int:
         (out_dir / "feature_names.txt").write_text(
             "\n".join(feature_names_220()) + "\n")
         (out_dir / "filenames.txt").write_text("\n".join(filenames) + "\n")
+        _write_feature_metadata(out_dir, meta.get("file_metadata", []))
         print(f"features: X {X.shape} → {out_dir}")
     if args.command == "ablate":
         from .models import classify as cls
@@ -198,7 +199,27 @@ def _dispatch(args, runner, out_dir: Path) -> int:
             if "p_fdr" in s:
                 print(f"control {band}: matched {s['w_matched']:.4f} vs "
                       f"mismatched {s['w_mismatched']:.4f} p_fdr {s['p_fdr']:.4g}")
+    if args.command == "study":
+        written = runner.write_sample_figures()
+        print(f"figures: {len(written)} sample figures → "
+              f"{out_dir}/figures")
     return 0
+
+
+def _write_feature_metadata(out_dir: Path, fmeta: list[dict]) -> None:
+    """features/metadata.csv + metadata.json — per-file window counts and
+    runtime validation issues (reference tda_eeg_classification_v2.py:684-690,
+    C19)."""
+    if not fmeta:
+        return
+    import csv
+
+    with open(out_dir / "metadata.csv", "w", newline="") as f:
+        wr = csv.DictWriter(f, fieldnames=list(fmeta[0].keys()))
+        wr.writeheader()
+        wr.writerows(fmeta)
+    (out_dir / "metadata.json").write_text(
+        json.dumps(fmeta, indent=2, ensure_ascii=False))
 
 
 def _merge_partials(out_dir: Path) -> None:

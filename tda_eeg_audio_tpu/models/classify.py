@@ -205,6 +205,10 @@ def run_classification(X: np.ndarray, y: np.ndarray, subjects: np.ndarray,
             for i in top],
         "all_importances": {feature_names[i]: float(importances[i])
                             for i in np.argsort(importances)[::-1]},
+        # raw distributions for the statistical-tests figure — popped by the
+        # caller before JSON serialization (classification_rerun.py:270-316)
+        "null_scores": null.tolist(),
+        "bootstrap_scores": boots.tolist(),
         "conclusion": "SIGNIFICANT" if p_value < 0.05 else "NOT SIGNIFICANT",
     }
 

@@ -31,6 +31,10 @@ def run_eda(dataset, cfg, results_dir=None, eeg_batch: int = 16,
     coverage = defaultdict(lambda: {"slow": 0, "fast": 0})
     band_power = defaultdict(list)        # (subject, condition) → rows (5,)
     durations = {"slow": [], "fast": []}
+    psd_sum = {"slow": None, "fast": None}
+    psd_n = {"slow": 0, "fast": 0}
+    waveforms: dict[str, np.ndarray] = {}
+    freqs = None
 
     n = len(dataset)
     for b0 in range(0, n, eeg_batch):
@@ -57,6 +61,13 @@ def run_eda(dataset, cfg, results_dir=None, eeg_batch: int = 16,
         for bi, (i, rec) in enumerate(zip(idxs, metas)):
             subj, cond = rec["subject"], rec["condition"]
             dur = ns_e[bi] / fs
+            # channel-mean PSD accumulators + one sample waveform per
+            # condition for the EDA figures (notebook 0 plots)
+            m = pxx[bi].mean(0)
+            psd_sum[cond] = m if psd_sum[cond] is None else psd_sum[cond] + m
+            psd_n[cond] += 1
+            if cond not in waveforms:
+                waveforms[cond] = np.array(eegs[bi][0, : ns_e[bi]])
             inventory.append(dict(
                 filename=rec["filename"], subject=subj, condition=cond,
                 n_samples=int(ns_e[bi]), duration_sec=float(dur)))
@@ -127,4 +138,13 @@ def run_eda(dataset, cfg, results_dir=None, eeg_batch: int = 16,
             wr = csv.DictWriter(fh, fieldnames=list(inventory[0].keys()))
             wr.writeheader()
             wr.writerows(inventory)
+        # EDA figures (reference paper/figures/eda_psd.png, eda_waveforms.png,
+        # subject_distribution.png)
+        from . import figures
+        if all(psd_n[c] for c in ("slow", "fast")):
+            curves = {"freqs": freqs,
+                      "slow": psd_sum["slow"] / psd_n["slow"],
+                      "fast": psd_sum["fast"] / psd_n["fast"]}
+            figures.eda_figures(curves, waveforms, fs, results_dir)
+        figures.subject_distribution_figure(inventory, results_dir)
     return out

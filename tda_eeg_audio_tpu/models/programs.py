@@ -105,12 +105,13 @@ def window_tda_features(dm: jnp.ndarray, thresh: float = 2.0, na_max: int = 128,
 
 
 @partial(jax.jit, static_argnames=("cfg", "n_win_max", "K", "chunk", "na_max",
-                                   "step_budget"))
+                                   "step_budget", "return_dm0"))
 def eeg_feature_program(eeg: jnp.ndarray, n_samples: jnp.ndarray,
                         use_idx: jnp.ndarray, use_mask: jnp.ndarray,
                         cfg: PipelineConfig = DEFAULT_CONFIG,
                         n_win_max: int = 90, K: int = 39, chunk: int = 512,
-                        na_max: int = 128, step_budget: int = 4096):
+                        na_max: int = 128, step_budget: int = 4096,
+                        return_dm0: bool = False):
     """FUSED features stage: padded EEG → 220-dim aggregate, one device call.
 
     The whole per-recording pipeline (filter → window-select → corr → dist →
@@ -154,7 +155,16 @@ def eeg_feature_program(eeg: jnp.ndarray, n_samples: jnp.ndarray,
     feats = jax.lax.map(do_chunk, flat.reshape(n_chunks, chunk, n, n))
     feats = feats.reshape(-1, 2, 11)[:total].reshape(B, N_BANDS, K, 22)
     agg = aggregate_mean_std(feats, use_mask.reshape(B, N_BANDS, K))
-    return agg.reshape(B, N_BANDS, 2, 11, 2)
+    agg = agg.reshape(B, N_BANDS, 2, 11, 2)
+    if not return_dm0:
+        return agg
+    # window-0 distance matrix per band for host-side runtime validation —
+    # the reference validates distance_matrices[0] of each band at runtime
+    # and persists issues into per-file metadata (C14;
+    # tda_eeg_classification_v2.py:376-382)
+    corr0 = tgeo.correlation_matrix(wins[:, :, 0])            # (B, 5, n, n)
+    dm0 = tgeo.correlation_to_distance(corr0, cfg.distance_method)
+    return agg, dm0
 
 
 def recording_features(dist: jnp.ndarray, use_idx: jnp.ndarray,
@@ -231,24 +241,20 @@ def _wass_sinkhorn_chunked(b1, d1, m1, b2, d2, m2, chunk=512):
 
 
 @partial(jax.jit, static_argnames=("K", "n_win_max"))
-def _pair_select_program(dist, wmask_e, aud_n_win, K: int, n_win_max: int):
-    """Paired window selection over n_pair = min(eeg, audio) windows
-    (reference tda_eeg_audio_comparison.py:72-80) → selected EEG dms."""
+def _pair_select_program(dist, aud_use_idx, aud_n_win, K: int, n_win_max: int):
+    """Select the EEG windows at the AUDIO program's index set — one shared
+    linspace over n_pair = min(eeg, audio) windows for both sides (reference
+    tda_eeg_audio_comparison.py:72-80; the audio program was called with
+    n_win_cap = the EEG window count, so its n_win is already n_pair)."""
     B = dist.shape[0]
-    n_win_e = jnp.sum(wmask_e, axis=-1).astype(jnp.int32)
-    n_pair = jnp.minimum(n_win_e, aud_n_win).astype(jnp.int32)
-    k = jnp.arange(K, dtype=jnp.float32)
-    nwf = jnp.maximum(n_pair.astype(jnp.float32), 1.0)[:, None]
-    use_all = n_pair[:, None] <= K
-    idx_lin = (k[None, :] * (nwf - 1.0) / (K - 1)).astype(jnp.int32)
-    idx_seq = jnp.minimum(k.astype(jnp.int32)[None, :],
-                          jnp.maximum(n_pair[:, None] - 1, 0))
-    use_idx = jnp.clip(jnp.where(use_all, idx_seq, idx_lin), 0, n_win_max - 1)
+    n_pair = aud_n_win.astype(jnp.int32)
+    use_idx = jnp.clip(aud_use_idx, 0, n_win_max - 1)
+    k = jnp.arange(K, dtype=jnp.int32)
     kmask = k[None, :] < jnp.minimum(n_pair, K)[:, None]          # (B, K)
     n = dist.shape[-1]
     sel_dm = jnp.take_along_axis(
         dist, use_idx[:, None, :, None, None], axis=2)            # (B,5,K,n,n)
-    return sel_dm.reshape(B * N_BANDS * K, n, n), kmask, n_pair, n_win_e
+    return sel_dm.reshape(B * N_BANDS * K, n, n), kmask, n_pair
 
 
 def _h0_pack(out):
@@ -265,16 +271,25 @@ def _h1_pack(out):
 
 @partial(jax.jit, static_argnames=("K",))
 def _comparison_stats_program(w_h0, w_h1, w_h1_mis, e_feats, a_feats,
-                              kmask, n_win_e, mis_n_win, K: int):
-    """Window-mean Wasserstein + Spearman feature correlations → (B,5) stats."""
+                              kmask, a_degen, mis_degen,
+                              n_win_e, mis_n_win, K: int):
+    """Window-mean Wasserstein + Spearman feature correlations → (B,5) stats.
+
+    Degenerate Takens windows (< 3 embedded points) are EXCLUDED from the
+    Wasserstein window means and from the feature time series — the
+    reference skips them entirely (`if len(pc) < 3: continue`,
+    tda_eeg_audio_comparison.py:90-91).  a_degen/mis_degen: (B, 5, K) bool.
+    """
     from ..ops import stats as dstats
 
     B = kmask.shape[0]
     k = jnp.arange(K, dtype=jnp.float32)
-    pm = jnp.repeat(kmask[:, None, :], N_BANDS, 1).reshape(-1)
-    mis_pm = pm & jnp.repeat(
-        (k[None, :] < jnp.minimum(jnp.minimum(n_win_e, mis_n_win), K)[:, None]
-         )[:, None, :], N_BANDS, 1).reshape(-1)
+    km_b = jnp.repeat(kmask[:, None, :], N_BANDS, 1)              # (B,5,K)
+    pm = (km_b & ~a_degen).reshape(-1)
+    mis_pm = (km_b
+              & (k[None, None, :] <
+                 jnp.minimum(jnp.minimum(n_win_e, mis_n_win), K)[:, None, None])
+              & ~mis_degen).reshape(-1)
 
     def wmean(w, m):
         w = w.reshape(B, N_BANDS, K)
@@ -289,13 +304,19 @@ def _comparison_stats_program(w_h0, w_h1, w_h1_mis, e_feats, a_feats,
     af = a_feats.reshape(B, N_BANDS, K, 2, 11)[:, :, :, 1, :]
     e_ts = jnp.moveaxis(ef[..., FEAT_IDX], -1, 2)                 # (B,5,5f,K)
     a_ts = jnp.moveaxis(af[..., FEAT_IDX], -1, 2)
-    km3 = jnp.broadcast_to(kmask[:, None, None, :], e_ts.shape)
+    km3 = jnp.broadcast_to((km_b & ~a_degen)[:, :, None, :], e_ts.shape)
     r, p = dstats.spearmanr(a_ts.reshape(-1, K), e_ts.reshape(-1, K),
                             km3.reshape(-1, K))
-    n_valid = jnp.sum(kmask, -1)
-    std_ok = ((jnp.std(jnp.where(km3, a_ts, 0.0), -1) > 1e-10)
-              & (jnp.std(jnp.where(km3, e_ts, 0.0), -1) > 1e-10))
-    ok = (n_valid[:, None, None] >= 5) & std_ok
+    n_valid = jnp.sum(km_b & ~a_degen, -1)                        # (B,5)
+
+    def mstd(x):    # np.std over the kept windows only
+        nv = jnp.maximum(jnp.sum(km3, -1), 1)
+        mu = jnp.sum(jnp.where(km3, x, 0.0), -1) / nv
+        return jnp.sqrt(
+            jnp.sum(jnp.where(km3, (x - mu[..., None]) ** 2, 0.0), -1) / nv)
+
+    std_ok = (mstd(a_ts) > 1e-10) & (mstd(e_ts) > 1e-10)
+    ok = (n_valid[:, :, None] >= 5) & std_ok
     r = jnp.where(ok, r.reshape(B, N_BANDS, 5), 0.0)
     p = jnp.where(ok, p.reshape(B, N_BANDS, 5), 1.0)
     return dict(w_h0=wmean(w_h0, pm), w_h1=wmean(w_h1, pm),
@@ -337,20 +358,51 @@ def _diagrams_chunked_host(dm, n_pts, thresh, chunk, na_max, step_budget):
     return {k: jnp.concatenate([o[k] for o in outs])[:total] for k in outs[0]}
 
 
-def comparison_program(eeg, n_e, audio, n_a, mis_audio, n_mis,
+def audio_h1_program(audio, n_a, cfg: PipelineConfig = DEFAULT_CONFIG,
+                     n_rs_max: int = 5900, n_win_max: int = 90, K: int = 15,
+                     aud_chunk: int = 64, n_win_cap=None):
+    """Audio → per-band H1 diagrams on the ≤K subsampled windows.
+
+    The mismatched-control getter (reference matched_vs_mismatched.py:35-63)
+    as a device program: resample → envelope → band filter → window →
+    subsample → τ → Takens → Rips H1.  The driver computes each unique
+    mismatch recording ONCE through this and reuses the diagrams across all
+    of that recording's ~16 pairings — the reference recomputes them per
+    pairing (matched_vs_mismatched.py:117-141).
+
+    Returns (b, d, m) H1 arrays (B·5·K, H), n_win (B,), degen (B, 5, K).
+    """
+    aud = audio_takens_program(audio, n_a, cfg, n_rs_max, n_win_max, K,
+                               n_win_cap=n_win_cap)
+    P = cfg.max_takens_points
+    out = _diagrams_chunked_host(
+        aud["dm"].reshape(-1, P, P),
+        aud["n_pts"].reshape(-1).astype(jnp.int32),
+        cfg.max_edge_length, aud_chunk, 96, 8192)
+    b, d, m = _h1_pack(out)
+    return dict(h1_b=b, h1_d=d, h1_m=m, n_win=aud["n_win"],
+                degen=aud["n_pts"] < 3, overflow=out["overflow"])
+
+
+def comparison_program(eeg, n_e, audio, n_a, mis_h1, mis_n_win, mis_degen,
                        cfg: PipelineConfig = DEFAULT_CONFIG,
                        n_win_max: int = 90, n_rs_max: int = 5900,
                        K: int = 15, eeg_chunk: int = 256, aud_chunk: int = 64,
                        w_chunk: int = 512):
     """EEG↔audio comparison + matched/mismatched control for one batch.
 
-    Device-resident staged pipeline: EEG → banded distance windows; own and
-    opposite-condition audio → Takens diagrams; window-paired Wasserstein
-    W_H0/W_H1 (ε-annealed device Sinkhorn, persim cost semantics); Spearman
+    Device-resident staged pipeline: EEG → banded distance windows; own
+    audio → Takens diagrams; window-paired Wasserstein W_H0/W_H1
+    (ε-annealed device Sinkhorn, persim cost semantics); Spearman
     correlations of the five tracked H1 features.  Replaces the
     per-recording host loops of reference
     scripts/tda_eeg_audio_comparison.py:45-124 and
     scripts/matched_vs_mismatched.py:35-95.
+
+    mis_h1 = (b, d, m) H1 diagram arrays (B·5·K, H) of each recording's
+    mismatch audio, precomputed ONCE per unique opposite-condition file via
+    `audio_h1_program` and gathered per batch by the driver; mis_n_win (B,),
+    mis_degen (B, 5, K) accompany them.
 
     All intermediates (distance matrices, diagrams) remain jax Arrays on
     the device; only the (B, 5)-shaped outputs are read back by the caller.
@@ -358,40 +410,40 @@ def comparison_program(eeg, n_e, audio, n_a, mis_audio, n_mis,
     """
     B = eeg.shape[0]
     dist, _, wmask_e = eeg_distance_program(eeg, n_e, cfg, n_win_max)
-    aud = audio_takens_program(audio, n_a, cfg, n_rs_max, n_win_max, K)
-    mis = audio_takens_program(mis_audio, n_mis, cfg, n_rs_max, n_win_max, K)
+    n_win_e = jnp.sum(wmask_e, axis=-1).astype(jnp.int32)
+    # own audio subsamples over n_pair = min(audio, eeg); ONE index set is
+    # drawn inside the audio program and reused for the EEG side below
+    # (reference tda_eeg_audio_comparison.py:72-80)
+    aud = audio_takens_program(audio, n_a, cfg, n_rs_max, n_win_max, K,
+                               n_win_cap=n_win_e)
 
-    flat_e, kmask, n_pair, n_win_e = _pair_select_program(
-        dist, wmask_e, aud["n_win"], K, n_win_max)
+    flat_e, kmask, n_pair = _pair_select_program(
+        dist, aud["use_idx"], aud["n_win"], K, n_win_max)
     n = flat_e.shape[-1]
     e_out = _diagrams_chunked_host(
         flat_e, jnp.full((flat_e.shape[0],), n, jnp.int32),
         cfg.max_edge_length, eeg_chunk, 128, 4096)
 
-    # own + mismatched audio share the diagram executable
     P = cfg.max_takens_points
-    half = B * N_BANDS * K
-    am_dm = jnp.concatenate([aud["dm"].reshape(-1, P, P),
-                             mis["dm"].reshape(-1, P, P)], axis=0)
-    am_np = jnp.concatenate([aud["n_pts"].reshape(-1),
-                             mis["n_pts"].reshape(-1)]).astype(jnp.int32)
-    am_out = _diagrams_chunked_host(am_dm, am_np, cfg.max_edge_length,
-                                    aud_chunk, 96, 8192)
-    a_out = {k: v[:half] for k, v in am_out.items()}
+    a_out = _diagrams_chunked_host(
+        aud["dm"].reshape(-1, P, P),
+        aud["n_pts"].reshape(-1).astype(jnp.int32),
+        cfg.max_edge_length, aud_chunk, 96, 8192)
 
     w_h0 = _wass_sinkhorn_chunked(*_h0_pack(e_out), *_h0_pack(a_out),
                                   chunk=w_chunk)
     e1 = _h1_pack(e_out)
-    am1 = _h1_pack(am_out)
-    e1x2 = tuple(jnp.concatenate([v, v], axis=0) for v in e1)
-    w_both = _wass_sinkhorn_chunked(*e1x2, *am1, chunk=w_chunk)
+    w_h1 = _wass_sinkhorn_chunked(*e1, *_h1_pack(a_out), chunk=w_chunk)
+    w_mis = _wass_sinkhorn_chunked(*e1, mis_h1[0], mis_h1[1], mis_h1[2],
+                                   chunk=w_chunk)
 
     out = _comparison_stats_program(
-        w_h0, w_both[:half], w_both[half:], e_out["features"],
-        a_out["features"], kmask, n_win_e, mis["n_win"], K)
+        w_h0, w_h1, w_mis, e_out["features"],
+        a_out["features"], kmask, aud["n_pts"] < 3, mis_degen,
+        n_win_e, mis_n_win, K)
     out.update(tau=aud["tau"], n_pair=jnp.minimum(n_pair, K),
                overflow=(jnp.sum(e_out["overflow"])
-                         + jnp.sum(am_out["overflow"])))
+                         + jnp.sum(a_out["overflow"])))
     return out
 
 
@@ -404,7 +456,8 @@ def comparison_program(eeg, n_e, audio, n_a, mis_audio, n_mis,
 def audio_takens_program(audio: jnp.ndarray, n_samples: jnp.ndarray,
                          cfg: PipelineConfig = DEFAULT_CONFIG,
                          n_out_max: int = 5800, n_win_max: int = 90,
-                         max_windows: int = 15):
+                         max_windows: int = 15,
+                         n_win_cap: jnp.ndarray | None = None):
     """(B, T_audio_pad) padded audio → per-band Takens distance matrices.
 
     Pipeline (reference scripts/tda_eeg_audio_comparison.py:53-92):
@@ -412,8 +465,17 @@ def audio_takens_program(audio: jnp.ndarray, n_samples: jnp.ndarray,
     even subsample to ≤ max_windows, τ from first window, Takens embedding,
     min-max normalize, pairwise distances (padded points > thresh).
 
+    n_win_cap: optional (B,) int — when given, the window count is first
+    capped at min(own, cap).  The comparison driver passes the EEG window
+    count here so ONE linspace index set over n = min(n_audio, n_eeg) is
+    drawn and reused for both sides, exactly the reference's paired
+    selection (tda_eeg_audio_comparison.py:72-80).  Left None for the
+    mismatched-control audio, which the reference subsamples over its own
+    window count (matched_vs_mismatched.py:50-55).
+
     Returns dict with dm (B, 5, max_windows, P, P), point-valid counts,
-    window masks, and τ per band.
+    window masks, τ per band, and the drawn index set `use_idx` (B, K) —
+    callers selecting the paired EEG windows must reuse it verbatim.
     """
     h, up, down = tsig.design_resample_poly_filter(cfg.fs_eeg, cfg.fs_audio)
     a_rs, n_rs = tsig.resample_poly_device(audio, n_samples, n_out_max, h, up, down)
@@ -427,8 +489,9 @@ def audio_takens_program(audio: jnp.ndarray, n_samples: jnp.ndarray,
     env_b = tsig.bandpass_bank(env, bank)                     # (B, 5, T)
     win, step = cfg.win_samples, cfg.step_samples
     wins = tsig.sliding_windows(env_b, n_win_max, win, step)  # (B, 5, W, win)
-    starts = jnp.arange(n_win_max) * step
     n_win = jnp.maximum((n_rs - win) // step + 1, 0)          # (B,)
+    if n_win_cap is not None:
+        n_win = jnp.minimum(n_win, n_win_cap)
 
     # even subsample to ≤ max_windows: idx = linspace(0, n_win-1, max_windows)
     # (reference tda_eeg_audio_comparison.py:77-80)
@@ -454,7 +517,7 @@ def audio_takens_program(audio: jnp.ndarray, n_samples: jnp.ndarray,
                                  pad_value=cfg.max_edge_length + 1.0)
     n_pts = jnp.sum(pmask, axis=-1)                           # (B, 5, K)
     return dict(dm=dm, n_pts=n_pts, wmask=kmask, tau=tau, n_win=n_win,
-                envelope=env, n_rs=n_rs)
+                use_idx=use_idx, envelope=env, n_rs=n_rs)
 
 
 @partial(jax.jit, static_argnames=("thresh", "na_max", "h1_max", "step_budget"))

@@ -58,26 +58,31 @@ class StudyRunner:
         if backend is None:
             backend = cfg.homology_backend
         self.backend = backend
+        self.failed_files: list[tuple[str, str]] = []
+        self._failed_idx: set[int] = set()
 
     # ---------------- data staging ----------------
 
     def _safe_load(self, i: int) -> dict:
-        """Per-file failure isolation: corrupt recordings are zeroed out
-        (0 effective windows) and recorded in self.failed_files — the
-        reference's per-file try/except + failed list
-        (notebook 1 cell 3 raw :162-179; SURVEY §5)."""
+        """Per-file failure isolation: corrupt recordings are zeroed out,
+        marked failed and recorded in self.failed_files; callers DROP them
+        from every downstream artifact (window equalization, X rows, labels,
+        comparison rows) — the reference's per-file try/except + failed list
+        (notebook 1 cell 3 raw :162-179; tda_eeg_classification_v2.py:565-567;
+        SURVEY §5)."""
         try:
             return self.ds.load(i)
         except Exception as e:
             fn, subj, cond = self.ds.index[i]
-            if not hasattr(self, "failed_files"):
-                self.failed_files = []
-            self.failed_files.append((fn, repr(e)))
+            if i not in self._failed_idx:
+                self._failed_idx.add(i)
+                self.failed_files.append((fn, repr(e)))
             if self.verbose:
                 print(f"  LOAD FAILED {fn}: {e!r}")
             return dict(eeg_raw=np.zeros((65, 250), np.float32),
                         audio=np.zeros(44100, np.float32),
-                        filename=fn, subject=subj, condition=cond)
+                        filename=fn, subject=subj, condition=cond,
+                        failed=True)
 
     def _load_batch(self, idxs):
         """Stage a batch to padded arrays.  Per-file failures are isolated —
@@ -98,7 +103,8 @@ class StudyRunner:
             eegs.append(e); audios.append(a)
             ns_e.append(min(n_e, T_EEG_PAD)); ns_a.append(n_a)
             metas.append(dict(filename=rec["filename"], subject=rec["subject"],
-                              condition=rec["condition"]))
+                              condition=rec["condition"],
+                              failed=rec.get("failed", False)))
         return (np.stack(eegs), np.stack(audios),
                 np.array(ns_e), np.array(ns_a), metas)
 
@@ -198,21 +204,9 @@ class StudyRunner:
         equalization stays global so shards agree.
         """
         cfg = self.cfg
-        # window counts per recording (same for all bands)
-        n_windows = []
-        for i in range(len(self.ds)):
-            fn, subj, cond = self.ds.index[i]
-            # number of complete 1 s / 75 % windows
-            rec_len = None
-            n_windows.append(None)
-        # cheap pass: derive window counts from stored lengths via loading
-        # metadata only — synthetic datasets know durations deterministically;
-        # generic path loads each recording once below anyway.
         win, step = cfg.win_samples, cfg.step_samples
 
         X_rows, y, subjects, filenames = [], [], [], []
-        order = np.argsort([f"{c}/{f}" for f, s, c in
-                            [self.ds.index[i] for i in range(len(self.ds))]])
         # reference order: sorted slow dirs then fast dirs
         slow_idx = sorted([i for i in range(len(self.ds))
                            if self.ds.index[i][2] == "slow"],
@@ -222,12 +216,21 @@ class StudyRunner:
                           key=lambda i: self.ds.index[i][0])
         all_idx = slow_idx + fast_idx
 
-        # pass 1: window counts (for "min" equalization)
+        # pass 1: window counts for "min" equalization.  Failed loads are
+        # DROPPED here — from the min (one corrupt file must not collapse
+        # K for the whole dataset) and from the processed list (no X row,
+        # no label), matching the reference's failed-file semantics
+        # (tda_eeg_classification_v2.py:565-567).
         counts = {}
         for i in all_idx:
             rec = self._safe_load(i)
+            if rec.get("failed"):
+                continue
             n_e = min(rec["eeg_raw"].shape[1], T_EEG_PAD)
             counts[i] = max((n_e - win) // step + 1, 0)
+        all_idx = [i for i in all_idx if i in counts]
+        if not all_idx:
+            raise RuntimeError("no loadable recordings in dataset")
         min_windows = min(c for c in counts.values() if c > 0)
         if max_windows_per_band is None:
             max_windows_per_band = (min_windows if cfg.equalize_windows
@@ -238,13 +241,14 @@ class StudyRunner:
             all_idx = all_idx[batch_start or 0:batch_end]
 
         t0 = time.time()
-        pending = []          # (future_or_array, idxs) for async device calls
+        pending = []          # ((agg, dm0), idxs) — async device calls
         done = []
 
         def drain(limit):
             while len(pending) > limit:
-                agg, idxs_ = pending.pop(0)
-                done.append((np.asarray(agg)[: len(idxs_)], idxs_))
+                (agg, dm0), idxs_ = pending.pop(0)
+                done.append((np.asarray(agg)[: len(idxs_)],
+                             np.asarray(dm0)[: len(idxs_)], idxs_))
 
         for b0 in range(0, len(all_idx), self.eeg_batch):
             idxs = all_idx[b0:b0 + self.eeg_batch]
@@ -277,11 +281,11 @@ class StudyRunner:
                         [use_idx, np.zeros((padn, N_BANDS, K), np.int32)])
                     use_mask = np.concatenate(
                         [use_mask, np.zeros((padn, N_BANDS, K), bool)])
-                agg_dev = programs.eeg_feature_program(
+                agg_dev, dm0_dev = programs.eeg_feature_program(
                     jnp.asarray(eeg), jnp.asarray(ns_e),
                     jnp.asarray(use_idx), jnp.asarray(use_mask),
-                    cfg, N_WIN_MAX, K, chunk=self.tda_chunk)
-                pending.append((agg_dev, idxs))
+                    cfg, N_WIN_MAX, K, chunk=self.tda_chunk, return_dm0=True)
+                pending.append(((agg_dev, dm0_dev), idxs))
             else:
                 dist, wmask, metas = self.eeg_distances(idxs)
                 sel = jnp.take_along_axis(
@@ -294,7 +298,9 @@ class StudyRunner:
                 from ..ops.features import aggregate_mean_std
                 agg = np.array(aggregate_mean_std(
                     jnp.asarray(feats), jnp.asarray(use_mask)))
-                pending.append((agg.reshape(B, N_BANDS, 2, 11, 2), idxs))
+                dm0 = np.array(dist[:, :, 0])                 # (B, 5, 47, 47)
+                pending.append(((agg.reshape(B, N_BANDS, 2, 11, 2), dm0),
+                                idxs))
             drain(3)          # bound in-flight device memory (~4 batches)
             if self.verbose:
                 el = time.time() - t0
@@ -302,41 +308,67 @@ class StudyRunner:
                       f"recordings dispatched ({el:.0f}s)")
 
         drain(0)
-        for agg, idxs in done:
+        from ..utils.validation import validate_distance_matrix
+        file_metadata = []
+        for agg, dm0, idxs in done:
             for bi_, i in enumerate(idxs):
+                if i in self._failed_idx:   # failed on the batch re-load
+                    continue
                 X_rows.append(classify.features_to_row(agg[bi_]))
                 fn, subj, cond = self.ds.index[i]
                 y.append(0 if cond == "slow" else 1)
                 subjects.append(subj)
                 filenames.append(fn)
+                # runtime validation of each band's first window + per-file
+                # metadata (C14/C19; tda_eeg_classification_v2.py:338-442)
+                issues = []
+                for bd, band in enumerate(BAND_NAMES):
+                    ok, iss = validate_distance_matrix(dm0[bi_, bd],
+                                                       f"{band}[0]")
+                    issues.extend(f"{band}: {x}" for x in iss)
+                nw = counts[i]
+                used = min(K, nw)
+                file_metadata.append(dict(
+                    filename=fn,
+                    n_windows={b: nw for b in BAND_NAMES},
+                    n_windows_used={b: used for b in BAND_NAMES},
+                    validation_issues=issues,
+                    window_sampling=cfg.window_sampling,
+                    max_windows_per_band=K,
+                    n_windows_total=nw * N_BANDS,
+                    n_windows_used_total=used * N_BANDS))
         return (np.stack(X_rows), np.array(y), np.array(subjects), filenames,
-                dict(min_windows=min_windows, K=K))
+                dict(min_windows=min_windows, K=K,
+                     failed_files=[fn for fn, _ in self.failed_files],
+                     file_metadata=file_metadata))
 
     # ---------------- stage: audio + EEG diagrams for comparisons ----------------
 
-    def _comparison_diagrams(self, idxs):
-        """Per recording: EEG + audio diagrams on the ≤15 comparison windows."""
+    def _comparison_diagrams(self, idxs, cap_audio: bool = True):
+        """Per recording: EEG + audio diagrams on the ≤15 comparison windows.
+
+        ONE index set over n_pair = min(eeg, audio) windows is drawn inside
+        the audio program (via n_win_cap) and reused verbatim for the EEG
+        side — the reference's paired selection
+        (tda_eeg_audio_comparison.py:72-80).  cap_audio=False subsamples the
+        audio over its own window count instead (the mismatched-control
+        getter, matched_vs_mismatched.py:50-55)."""
         eeg, audio, ns_e, ns_a, metas = self._load_batch(idxs)
         cfg = self.cfg
         dist, _, wmask_e = programs.eeg_distance_program(
             jnp.asarray(eeg), jnp.asarray(ns_e), cfg, N_WIN_MAX)
+        n_win_e = np.array(jnp.sum(wmask_e, axis=-1)).astype(np.int32)
         aud = programs.audio_takens_program(
             jnp.asarray(audio), jnp.asarray(ns_a), cfg, N_RS_MAX, N_WIN_MAX,
-            K_CMP)
+            K_CMP,
+            n_win_cap=jnp.asarray(n_win_e) if cap_audio else None)
         B = len(idxs)
-        n_win_e = np.array(jnp.sum(wmask_e, axis=-1))          # (B,)
-        n_win_a = np.array(aud["n_win"])
-        # paired window selection: n = min(eeg, audio); idx over that range
-        # (reference tda_eeg_audio_comparison.py:72-80) — NOTE the audio
-        # program subsampled over its own n_win; for parity n_win should match
-        # (same duration) — assert and reuse audio idx for EEG.
-        n_pair = np.minimum(n_win_e, n_win_a)
+        n_pair = np.array(aud["n_win"]).astype(np.int64)       # already min'd
+        use_idx = np.array(aud["use_idx"])
+        assert np.all(use_idx[:, 0] == 0), "idx[0] must be window 0 (τ source)"
+        assert np.all(use_idx.max(1) <= np.maximum(n_pair - 1, 0)), \
+            "paired index set must stay within min(n_eeg, n_audio)"
         k = np.arange(K_CMP)
-        use_all = n_pair[:, None] <= K_CMP
-        idx_lin = (k[None, :] * (np.maximum(n_pair, 1)[:, None] - 1) /
-                   (K_CMP - 1)).astype(np.int32)
-        idx_seq = np.minimum(k[None, :], np.maximum(n_pair[:, None] - 1, 0))
-        use_idx = np.where(use_all, idx_seq, idx_lin).astype(np.int32)
         kmask = k[None, :] < n_pair[:, None]
 
         sel_dm = jnp.take_along_axis(
@@ -355,7 +387,8 @@ class StudyRunner:
             step_budget=8192, verbose=self.verbose)
         shape = (B, N_BANDS, K_CMP)
         return dict(eeg=eeg_out, audio=aud_out, kmask=kmask, metas=metas,
-                    shape=shape, tau=np.array(aud["tau"]), n_pair=n_pair)
+                    shape=shape, tau=np.array(aud["tau"]), n_pair=n_pair,
+                    degen=np.array(aud["n_pts"] < 3))       # (B, 5, K)
 
 
     # ---------------- Wasserstein between EEG and audio diagrams ----------------
@@ -445,6 +478,38 @@ class StudyRunner:
                     mis[(subj, cond)] = conds[opp][0]
         return mis
 
+    def _mismatch_diagram_cache(self, mis_idx, aud_chunk):
+        """Compute each unique mismatch recording's audio H1 diagrams ONCE
+        (the reference recomputes the same FIRST opposite-condition file for
+        every one of its ~16 pairings, matched_vs_mismatched.py:117-141 —
+        this de-duplication halves the audio-branch diagram count)."""
+        mis_list = sorted(set(mis_idx.values()))
+        cache = {}
+        for b0 in range(0, len(mis_list), self.eeg_batch):
+            idxs = mis_list[b0:b0 + self.eeg_batch]
+            _, audio, _, ns_a, metas = self._load_batch(idxs)
+            B = len(idxs)
+            if B < self.eeg_batch:
+                padn = self.eeg_batch - B
+                audio = np.concatenate(
+                    [audio, np.zeros((padn, audio.shape[1]), audio.dtype)])
+                ns_a = np.concatenate([ns_a, np.full(padn, 44100)])
+            out = programs.audio_h1_program(
+                jnp.asarray(audio), jnp.asarray(ns_a), self.cfg,
+                N_RS_MAX, N_WIN_MAX, K_CMP, aud_chunk=aud_chunk)
+            WB = N_BANDS * K_CMP
+            h1_b = np.asarray(out["h1_b"]).reshape(self.eeg_batch, WB, -1)
+            h1_d = np.asarray(out["h1_d"]).reshape(self.eeg_batch, WB, -1)
+            h1_m = np.asarray(out["h1_m"]).reshape(self.eeg_batch, WB, -1)
+            n_win = np.asarray(out["n_win"])
+            degen = np.asarray(out["degen"])
+            for bi_, i in enumerate(idxs):
+                if metas[bi_].get("failed"):
+                    continue
+                cache[i] = dict(b=h1_b[bi_], d=h1_d[bi_], m=h1_m[bi_],
+                                n_win=int(n_win[bi_]), degen=degen[bi_])
+        return cache
+
     def _fused_rows(self):
         """One fused device pass over all recordings → comparison + control
         rows.  Wasserstein runs on device (Sinkhorn, persim cost semantics);
@@ -455,6 +520,10 @@ class StudyRunner:
         FEATS = ["mean_persistence", "total_persistence",
                  "persistence_entropy", "max_persistence", "n_features"]
         mis_idx = self._mismatch_index()
+        aud_chunk = max(min(self.tda_chunk // 4, 64), 16)
+        mis_cache = self._mismatch_diagram_cache(mis_idx, aud_chunk)
+        H_MIS = next(iter(mis_cache.values()))["b"].shape[-1] \
+            if mis_cache else 96
         rows = []
         t0 = time.time()
         all_idx = list(range(len(self.ds)))
@@ -462,39 +531,41 @@ class StudyRunner:
         for b0 in range(0, len(all_idx), self.eeg_batch):
             idxs = all_idx[b0:b0 + self.eeg_batch]
             eeg, audio, ns_e, ns_a, metas = self._load_batch(idxs)
-            mis_audio = np.zeros_like(audio)
-            ns_mis = np.zeros_like(ns_a)
-            has_mis = np.zeros(len(idxs), bool)
+            B = len(idxs)
+            Bp = self.eeg_batch
+            WB = N_BANDS * K_CMP
+            mis_b = np.zeros((Bp, WB, H_MIS), np.float32)
+            mis_d = np.zeros((Bp, WB, H_MIS), np.float32)
+            mis_m = np.zeros((Bp, WB, H_MIS), bool)
+            mis_n_win = np.zeros(Bp, np.int32)
+            mis_degen = np.zeros((Bp, N_BANDS, K_CMP), bool)
+            has_mis = np.zeros(B, bool)
             for bi_, i in enumerate(idxs):
                 fn, subj, cond = self.ds.index[i]
-                j = mis_idx.get((subj, cond))
-                if j is None:
-                    mis_audio[bi_] = audio[bi_]
-                    ns_mis[bi_] = ns_a[bi_]
-                else:
+                c = mis_cache.get(mis_idx.get((subj, cond)))
+                if c is not None:
                     has_mis[bi_] = True
-                    rec = self._safe_load(j)
-                    n_a_ = min(len(rec["audio"]), mis_audio.shape[1])
-                    mis_audio[bi_, :n_a_] = rec["audio"][:n_a_]
-                    ns_mis[bi_] = n_a_
-            B = len(idxs)
-            if B < self.eeg_batch:
-                padn = self.eeg_batch - B
+                    mis_b[bi_], mis_d[bi_], mis_m[bi_] = c["b"], c["d"], c["m"]
+                    mis_n_win[bi_] = c["n_win"]
+                    mis_degen[bi_] = c["degen"]
+            if B < Bp:
+                padn = Bp - B
                 eeg = np.concatenate([eeg, np.zeros((padn, *eeg.shape[1:]),
                                                     eeg.dtype)])
                 audio = np.concatenate([audio, np.zeros((padn, audio.shape[1]),
                                                         audio.dtype)])
-                mis_audio = np.concatenate(
-                    [mis_audio, np.zeros((padn, audio.shape[1]), audio.dtype)])
                 ns_e = np.concatenate([ns_e, np.full(padn, 250)])
                 ns_a = np.concatenate([ns_a, np.full(padn, 44100)])
-                ns_mis = np.concatenate([ns_mis, np.full(padn, 44100)])
             out = programs.comparison_program(
                 jnp.asarray(eeg), jnp.asarray(ns_e), jnp.asarray(audio),
-                jnp.asarray(ns_a), jnp.asarray(mis_audio), jnp.asarray(ns_mis),
+                jnp.asarray(ns_a),
+                (jnp.asarray(mis_b.reshape(Bp * WB, H_MIS)),
+                 jnp.asarray(mis_d.reshape(Bp * WB, H_MIS)),
+                 jnp.asarray(mis_m.reshape(Bp * WB, H_MIS))),
+                jnp.asarray(mis_n_win), jnp.asarray(mis_degen),
                 cfg, N_WIN_MAX, N_RS_MAX, K_CMP,
                 eeg_chunk=min(self.tda_chunk, 256),
-                aud_chunk=max(min(self.tda_chunk // 4, 64), 16))
+                aud_chunk=aud_chunk)
             pending.append((out, idxs, metas, has_mis))
             while len(pending) > 2:
                 self._drain_fused(pending.pop(0), rows, FEATS)
@@ -516,6 +587,8 @@ class StudyRunner:
         tau = np.asarray(out["tau"])[: len(idxs)]
         n_pair = np.asarray(out["n_pair"])[: len(idxs)]
         for bi_, meta in enumerate(metas):
+            if meta.get("failed"):      # dropped, like the reference's failed list
+                continue
             for bd, band in enumerate(BAND_NAMES):
                 row = dict(filename=meta["filename"],
                            condition=meta["condition"],
@@ -547,7 +620,11 @@ class StudyRunner:
             idxs = all_idx[b0:b0 + self.eeg_batch]
             d = self._comparison_diagrams(idxs)
             B, NB, K = d["shape"]
-            pair_mask = np.repeat(d["kmask"][:, None, :], NB, 1).reshape(-1)
+            # degenerate Takens windows (< 3 points) are skipped entirely by
+            # the reference (`if len(pc) < 3: continue`) — drop them from the
+            # Wasserstein means and the feature time series
+            pair_mask = (np.repeat(d["kmask"][:, None, :], NB, 1)
+                         & ~d["degen"]).reshape(-1)
             w_h0, w_h1 = self._wasserstein_h0h1(d["eeg"], d["audio"], pair_mask)
             w_h0 = w_h0.reshape(B, NB, K)
             w_h1 = w_h1.reshape(B, NB, K)
@@ -560,8 +637,10 @@ class StudyRunner:
                      "n_features": 0}
             ef = d["eeg"]["features"].reshape(B, NB, K, 2, 11)[:, :, :, 1, :]
             af = d["audio"]["features"].reshape(B, NB, K, 2, 11)[:, :, :, 1, :]
-            km = d["kmask"][:, None, :].repeat(NB, 1)
+            km = d["kmask"][:, None, :].repeat(NB, 1) & ~d["degen"]
             for bi_, meta in enumerate(d["metas"]):
+                if meta.get("failed"):
+                    continue
                 for bd, band in enumerate(BAND_NAMES):
                     n_valid = int(km[bi_, bd].sum())
                     if n_valid == 0:
@@ -571,7 +650,8 @@ class StudyRunner:
                                subject=meta["subject"], band=band,
                                wasserstein_h0=float(np.nanmean(w_h0[bi_, bd])),
                                wasserstein_h1=float(np.nanmean(w_h1[bi_, bd])),
-                               n_windows=n_valid,
+                               # reference reports len(idx), degenerate incl.
+                               n_windows=int(min(d["n_pair"][bi_], K)),
                                tau=int(d["tau"][bi_, bd]))
                     for fname, fi in FEATS.items():
                         a_ts = af[bi_, bd, :, fi]
@@ -675,6 +755,8 @@ class StudyRunner:
             (self.results_dir / "eeg_audio_tda_comparison.json").write_text(
                 json.dumps(slim, indent=2, default=str))
             self._write_detailed_csv(rows)
+            from . import figures
+            figures.comparison_figures(rows, stats_out, self.results_dir)
         return out
 
     def _write_detailed_csv(self, rows):
@@ -731,13 +813,13 @@ class StudyRunner:
         mis_diag = {}
         for b0 in range(0, len(mis_list), self.eeg_batch):
             idxs = mis_list[b0:b0 + self.eeg_batch]
-            d = self._comparison_diagrams(idxs)
+            d = self._comparison_diagrams(idxs, cap_audio=False)
             B, NB, K = d["shape"]
             for bi_, i in enumerate(idxs):
                 sl = slice(bi_ * NB * K, (bi_ + 1) * NB * K)
                 mis_diag[i] = dict(
                     audio={k: v[sl] for k, v in d["audio"].items()},
-                    kmask=d["kmask"][bi_])
+                    kmask=d["kmask"][bi_], degen=d["degen"][bi_])
 
         rows = []
         all_idx = [i for s in common for c in ("slow", "fast")
@@ -747,7 +829,8 @@ class StudyRunner:
             idxs = all_idx[b0:b0 + self.eeg_batch]
             d = self._comparison_diagrams(idxs)
             B, NB, K = d["shape"]
-            pair_mask = np.repeat(d["kmask"][:, None, :], NB, 1).reshape(-1)
+            pair_mask = (np.repeat(d["kmask"][:, None, :], NB, 1)
+                         & ~d["degen"]).reshape(-1)
             _, w_matched = self._wasserstein_h0h1(d["eeg"], d["audio"], pair_mask)
             # mismatched: same EEG diagrams vs the mismatch audio diagrams
             mis_audio = {k: np.concatenate(
@@ -756,12 +839,18 @@ class StudyRunner:
             mis_kmask = np.stack(
                 [mis_diag[mis_idx[(m["subject"], m["condition"])]]["kmask"]
                  for m in d["metas"]])
-            pm2 = (np.repeat(d["kmask"][:, None, :], NB, 1).reshape(-1)
-                   & np.repeat(mis_kmask[:, None, :], NB, 1).reshape(-1))
+            mis_degen = np.stack(
+                [mis_diag[mis_idx[(m["subject"], m["condition"])]]["degen"]
+                 for m in d["metas"]])
+            pm2 = ((np.repeat(d["kmask"][:, None, :], NB, 1)
+                    & np.repeat(mis_kmask[:, None, :], NB, 1)
+                    & ~mis_degen).reshape(-1))
             _, w_mis = self._wasserstein_h0h1(d["eeg"], mis_audio, pm2)
             w_matched = w_matched.reshape(B, NB, K)
             w_mis = w_mis.reshape(B, NB, K)
             for bi_, meta in enumerate(d["metas"]):
+                if meta.get("failed"):
+                    continue
                 for bd, band in enumerate(BAND_NAMES):
                     rows.append(dict(
                         subject=meta["subject"], condition=meta["condition"],
@@ -840,6 +929,41 @@ class StudyRunner:
                 json.dumps(results, indent=2, default=str))
         return results
 
+    # ---------------- figures: sample diagrams + filter response ----------------
+
+    def write_sample_figures(self) -> list[str]:
+        """Sample persistence-diagram figures (first recording, window 0 of
+        each band) + the filter-response figure — the reference's
+        paper/figures set that isn't derived from results JSON
+        (fig_persistence_diagrams, fig_sample_persistence,
+        persistence_diagrams_comparison, filter_response)."""
+        if not self.results_dir:
+            return []
+        from . import figures
+
+        idxs = list(range(min(self.eeg_batch, len(self.ds))))
+        d = self._comparison_diagrams(idxs)
+        _, NB, K = d["shape"]
+
+        def dgm(out, flat):
+            h0d = np.asarray(out["h0_deaths"][flat])
+            h0m = np.asarray(out["h0_mask"][flat]) & np.isfinite(h0d)
+            h1b = np.asarray(out["births"][flat])
+            h1d = np.asarray(out["deaths"][flat])
+            h1m = np.asarray(out["mask"][flat]) & np.isfinite(h1d)
+            return {"h0": np.stack([np.zeros(int(h0m.sum())), h0d[h0m]], -1),
+                    "h1": np.stack([h1b[h1m], h1d[h1m]], -1)}
+
+        eeg_dgms, audio_dgms = {}, {}
+        for bd, band in enumerate(BAND_NAMES):
+            flat = bd * K          # recording 0, window 0
+            eeg_dgms[band] = dgm(d["eeg"], flat)
+            audio_dgms[band] = dgm(d["audio"], flat)
+        written = figures.persistence_figures(eeg_dgms, audio_dgms,
+                                              self.results_dir)
+        written += figures.filter_response_figure(self.cfg, self.results_dir)
+        return written
+
     # ---------------- analysis: classification ----------------
 
     def run_classification(self, n_permutations: int | None = None,
@@ -850,9 +974,17 @@ class StudyRunner:
             X, y, subjects, classify.feature_names_220(), self.cfg,
             n_permutations=n_permutations, n_bootstrap=n_bootstrap,
             verbose=self.verbose)
+        file_metadata = meta.pop("file_metadata", [])
         res["window_equalization"] = meta
+        null_scores = res.pop("null_scores", [])
+        boot_scores = res.pop("bootstrap_scores", [])
         if self.results_dir:
             self.results_dir.mkdir(parents=True, exist_ok=True)
+            from ..cli import _write_feature_metadata
+            _write_feature_metadata(self.results_dir, file_metadata)
+            from . import figures
+            figures.classification_figures(res, null_scores, boot_scores,
+                                           self.results_dir)
             ranked = res.pop("all_importances", {})
             (self.results_dir / "results_summary.json").write_text(
                 json.dumps(res, indent=2))

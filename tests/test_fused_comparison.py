@@ -1,35 +1,163 @@
-"""Fused comparison program vs the staged host-exact path.
+"""Fused comparison program: default-suite coverage + full staged parity.
 
-Gated behind RUN_SLOW=1: the audio H1 kernel compile takes tens of minutes
-on CPU.  The default suite covers the pieces (homology bar-for-bar, Sinkhorn
-vs exact JV, Spearman/Wilcoxon vs scipy); this test checks the fused
-composition end-to-end.
+The tiny-shape end-to-end test and the paired-window-selection tests run in
+the default suite; the full-scale fused-vs-staged comparison stays behind
+RUN_SLOW=1 (the P=124 audio H1 kernel compile takes tens of minutes on CPU).
 """
+import dataclasses
 import os
 
 import numpy as np
 import pytest
+import jax.numpy as jnp
 
-pytestmark = pytest.mark.skipif(os.environ.get("RUN_SLOW") != "1",
-                                reason="set RUN_SLOW=1 (long CPU compile)")
+from tda_eeg_audio_tpu.config import DEFAULT_CONFIG
+
+slow = pytest.mark.skipif(os.environ.get("RUN_SLOW") != "1",
+                          reason="set RUN_SLOW=1 (long CPU compile)")
 
 
+def _ref_linspace_idx(n_win, k):
+    """Reference subsampling (tda_eeg_audio_comparison.py:77-80)."""
+    if n_win > k:
+        return np.linspace(0, n_win - 1, k, dtype=int)
+    return np.arange(max(n_win, 0))
+
+
+def test_paired_window_selection_matches_reference():
+    """One linspace index set over n_pair = min(eeg, audio), reference
+    tda_eeg_audio_comparison.py:72-80 — including window counts differing
+    by one between the two sides (VERDICT round 1, item 5)."""
+    from tda_eeg_audio_tpu.models.programs import audio_takens_program
+
+    cfg = DEFAULT_CONFIG
+    fs_a, fs_e = cfg.fs_audio, cfg.fs_eeg
+    win, step = cfg.win_samples, cfg.step_samples
+    K = cfg.max_windows
+    # audio window counts 39 and 40; EEG caps at one less / one more
+    n_win_audio = np.array([39, 40])
+    n_rs = win + (n_win_audio - 1) * step
+    n_a = (n_rs * fs_a // fs_e).astype(np.int32)
+    rng = np.random.default_rng(0)
+    audio = np.zeros((2, int(n_a.max())), np.float32)
+    for i, n in enumerate(n_a):
+        audio[i, :n] = rng.standard_normal(n)
+    n_win_eeg = np.array([38, 41], np.int32)      # one less / one more
+
+    aud = audio_takens_program(
+        jnp.asarray(audio), jnp.asarray(n_a), cfg, 5900, 90, K,
+        n_win_cap=jnp.asarray(n_win_eeg))
+    n_win = np.array(aud["n_win"])
+    use_idx = np.array(aud["use_idx"])
+    n_pair_ref = np.minimum(n_win_audio, n_win_eeg)
+    np.testing.assert_array_equal(n_win, n_pair_ref)
+    for i in range(2):
+        ref = _ref_linspace_idx(int(n_pair_ref[i]), K)
+        np.testing.assert_array_equal(use_idx[i, : len(ref)], ref)
+        assert use_idx[i, 0] == 0            # τ comes from window idx[0] = 0
+
+    # uncapped (mismatched-control getter, matched_vs_mismatched.py:50-55)
+    aud_u = audio_takens_program(
+        jnp.asarray(audio), jnp.asarray(n_a), cfg, 5900, 90, K)
+    np.testing.assert_array_equal(np.array(aud_u["n_win"]), n_win_audio)
+    for i in range(2):
+        ref = _ref_linspace_idx(int(n_win_audio[i]), K)
+        np.testing.assert_array_equal(np.array(aud_u["use_idx"])[i, : len(ref)],
+                                      ref)
+
+
+def test_comparison_program_tiny_e2e():
+    """End-to-end fused comparison at tiny shapes in the default suite:
+    exercises EEG distances → paired selection → H0/H1 diagrams → Sinkhorn
+    Wasserstein → Spearman stats in one device program."""
+    from tda_eeg_audio_tpu.models.programs import (audio_h1_program,
+                                                   comparison_program)
+
+    cfg = dataclasses.replace(DEFAULT_CONFIG, window_sec=0.2, fir_numtaps=101)
+    B, n_win_max, n_rs_max, K = 2, 12, 300, 5
+    win, step = cfg.win_samples, cfg.step_samples
+    n_e = np.array([win + 7 * step, win + 8 * step], np.int32)  # 8, 9 windows
+    T = win + (n_win_max - 1) * step
+    rng = np.random.default_rng(0)
+    eeg = np.zeros((B, 47, T), np.float32)
+    for i, n in enumerate(n_e):
+        eeg[i, :, :n] = rng.standard_normal((47, n))
+    n_a = (n_e * cfg.fs_audio // cfg.fs_eeg).astype(np.int32)
+    audio = np.zeros((B, int(n_a.max())), np.float32)
+    for i, n in enumerate(n_a):
+        audio[i, :n] = rng.standard_normal(n)
+    mis = audio[::-1].copy()
+    n_mis = n_a[::-1].copy()
+
+    mo = audio_h1_program(jnp.asarray(mis), jnp.asarray(n_mis), cfg,
+                          n_rs_max, n_win_max, K, aud_chunk=16)
+    out = comparison_program(
+        jnp.asarray(eeg), jnp.asarray(n_e), jnp.asarray(audio),
+        jnp.asarray(n_a), (mo["h1_b"], mo["h1_d"], mo["h1_m"]),
+        mo["n_win"], mo["degen"], cfg,
+        n_win_max, n_rs_max, K, eeg_chunk=16, aud_chunk=16, w_chunk=64)
+    out = {k: np.asarray(v) for k, v in out.items()}
+    assert out["w_h0"].shape == (B, 5) and out["w_h1"].shape == (B, 5)
+    assert np.all(np.isfinite(out["w_h0"])) and np.all(out["w_h0"] > 0)
+    assert np.all(np.isfinite(out["w_h1"])) and np.all(out["w_h1"] >= 0)
+    assert np.all(out["n_pair"] == K)            # 8/9 windows, capped at 5
+    assert np.all(out["tau"] >= 1)
+    assert np.all(np.abs(out["corr_r"]) <= 1.0)
+    assert np.all((out["corr_p"] >= 0) & (out["corr_p"] <= 1))
+    assert not out["overflow"]
+
+
+def test_comparison_stats_degenerate_windows_excluded():
+    """Degenerate Takens windows (< 3 points) must be excluded from the
+    Wasserstein window means, the Spearman series and the ≥5 gate — the
+    reference skips them entirely (`if len(pc) < 3: continue`,
+    tda_eeg_audio_comparison.py:90-91; ADVICE round 1)."""
+    from tda_eeg_audio_tpu.models.programs import _comparison_stats_program
+
+    B, NB, K = 1, 5, 6
+    N = B * NB * K
+    rng = np.random.default_rng(1)
+    w = rng.uniform(1.0, 2.0, N).astype(np.float32)
+    feats_a = rng.uniform(0.1, 1.0, (N, 2, 11)).astype(np.float32)
+    feats_e = rng.uniform(0.1, 1.0, (N, 2, 11)).astype(np.float32)
+    kmask = np.ones((B, K), bool)
+    degen = np.zeros((B, NB, K), bool)
+    degen[0, :, 2] = True                      # window 2 degenerate, all bands
+    no_degen = np.zeros((B, NB, K), bool)
+    n_win_e = np.full(B, K, np.int32)
+
+    args = lambda dg: (jnp.asarray(w), jnp.asarray(w), jnp.asarray(w),
+                       jnp.asarray(feats_e), jnp.asarray(feats_a),
+                       jnp.asarray(kmask), jnp.asarray(dg), jnp.asarray(dg),
+                       jnp.asarray(n_win_e), jnp.asarray(n_win_e))
+    out_d = _comparison_stats_program(*args(degen), K=K)
+    out_f = _comparison_stats_program(*args(no_degen), K=K)
+
+    wr = w.reshape(B, NB, K)
+    exp_d = wr[:, :, [0, 1, 3, 4, 5]].mean(-1)   # window 2 dropped
+    np.testing.assert_allclose(np.array(out_d["w_h1"]), exp_d, rtol=1e-6)
+    np.testing.assert_allclose(np.array(out_f["w_h1"]), wr.mean(-1), rtol=1e-6)
+    # with K=6 and one degenerate window, 5 remain → Spearman still active;
+    # the two runs must differ because window 2 leaves the series
+    assert not np.allclose(np.array(out_d["corr_r"]), np.array(out_f["corr_r"]))
+
+
+@slow
 def test_fused_rows_match_staged():
-    import dataclasses
-    from tda_eeg_audio_tpu.config import DEFAULT_CONFIG
     from tda_eeg_audio_tpu.io.synthetic import SynthDataset
     from tda_eeg_audio_tpu.models.study import StudyRunner
 
     ds = SynthDataset(n_subjects=2, n_per_subject=2)
     cfg_f = dataclasses.replace(DEFAULT_CONFIG, wasserstein_backend="sinkhorn")
     fused = StudyRunner(ds, cfg_f, eeg_batch=4, tda_chunk=64, verbose=False)
-    rows_f = {(r["filename"], r["band"]): r for r in fused._fused_rows()}
+    rows_f = {(r["filename"], r["condition"], r["band"]): r
+              for r in fused._fused_rows()}
 
     staged = StudyRunner(ds, DEFAULT_CONFIG, eeg_batch=4, tda_chunk=64,
                          verbose=False)
     out = staged.run_comparison(n_permutations=10)
     for r in out["detailed_rows"]:
-        f = rows_f[(r["filename"], r["band"])]
+        f = rows_f[(r["filename"], r["condition"], r["band"])]
         assert f["n_windows"] == r["n_windows"]
         assert f["tau"] == r["tau"]
         np.testing.assert_allclose(f["wasserstein_h0"], r["wasserstein_h0"],

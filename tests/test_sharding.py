@@ -6,6 +6,10 @@ import pytest
 import jax
 import jax.numpy as jnp
 
+# compile-heavy (shard_map programs, minutes cold on CPU); the driver's
+# dryrun_multichip covers the same path on every round
+pytestmark = pytest.mark.slow
+
 from tda_eeg_audio_tpu.config import DEFAULT_CONFIG
 from tda_eeg_audio_tpu.parallel.sharding import (make_mesh,
                                                  sharded_feature_step,
