@@ -26,9 +26,64 @@ sys.path.insert(0, str(Path(__file__).resolve().parent))
 import numpy as np
 
 
+def full_study(args) -> None:
+    """North-star bench (BASELINE.json): the full study — per-recording
+    features (1,416 × 5 bands, EEG Rips H0+H1), EEG↔audio comparison and
+    matched/mismatched control (audio Takens diagrams + window-paired
+    Wasserstein + Wilcoxon/sign-flip/FDR stats) — wall-clock on one chip.
+
+    The host-sklearn RF/permutation stage is excluded: the target
+    (BASELINE.json "full study < 60 s") covers diagrams, features and
+    Wasserstein tests; the RF permutation fan-out is a host-core-count
+    benchmark, not a TPU one (SURVEY §2.2).
+    """
+    import dataclasses
+    import tempfile
+    import time
+
+    from tda_eeg_audio_tpu.config import DEFAULT_CONFIG
+    from tda_eeg_audio_tpu.io.synthetic import SynthDataset
+    from tda_eeg_audio_tpu.models.study import StudyRunner
+
+    n_subj = 3 if args.smoke else 45
+    per = 2 if args.smoke else 16
+    ds = SynthDataset(n_subjects=n_subj, n_per_subject=per)   # ~1,440 rec
+    cfg = dataclasses.replace(DEFAULT_CONFIG, wasserstein_backend="sinkhorn")
+    with tempfile.TemporaryDirectory() as td:
+        # eeg_batch 16 = the validated fused-program batch (larger batches
+        # quadruple the comparison program's footprint and can OOM the
+        # remote compile helper); throughput comes from the per-window
+        # kernels, not the recording batch dim
+        runner = StudyRunner(ds, cfg, eeg_batch=16,
+                             tda_chunk=256, results_dir=td, verbose=False)
+        t0 = time.time()
+        X, y, subjects, filenames, meta = runner.compute_feature_dataset()
+        t_feat = time.time() - t0
+        t1 = time.time()
+        cmp_out = runner.run_comparison(n_permutations=1000)
+        t_cmp = time.time() - t1
+        t2 = time.time()
+        ctl = runner.run_control()
+        t_ctrl = time.time() - t2
+    total = time.time() - t0
+    assert X.shape[1] == 220 and len(cmp_out["detailed_rows"]) >= len(ds) * 4
+    print(json.dumps({
+        "metric": "full_study_seconds",
+        "value": round(total, 1),
+        "unit": "s (features + comparison + control, 5 bands, one chip)",
+        "vs_baseline": round(60.0 / total, 3),
+        "detail": {"n_recordings": len(ds), "features_s": round(t_feat, 1),
+                   "compare_s": round(t_cmp, 1),
+                   "control_s": round(t_ctrl, 1), "X": list(X.shape)},
+    }))
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--smoke", action="store_true", help="tiny run on CPU")
+    ap.add_argument("--full-study", action="store_true",
+                    help="north-star bench: full study wall clock (1,440 "
+                         "synthetic recordings: features+compare+control)")
     ap.add_argument("--recordings", type=int, default=64)
     ap.add_argument("--repeats", type=int, default=3)
     ap.add_argument("--windows", type=int, default=40,
@@ -40,6 +95,9 @@ def main() -> None:
     if args.smoke:
         from tda_eeg_audio_tpu.runtime import force_cpu
         force_cpu()
+    if args.full_study:
+        full_study(args)
+        return
 
     import jax
     import jax.numpy as jnp

@@ -29,11 +29,19 @@ import numpy as np
 
 
 def _build_runner(args):
-    from .runtime import enable_compilation_cache, force_cpu
+    from .runtime import enable_compilation_cache, force_cpu, init_distributed
 
     enable_compilation_cache()
     if args.device == "cpu":
         force_cpu()
+    # multi-host: spans "dp" over DCN; a no-op single-process unless
+    # --coordinator/--num-processes (or JAX_* env vars) are set
+    info = init_distributed(args.coordinator, args.num_processes,
+                            args.process_id)
+    if info["num_processes"] > 1:
+        print(f"distributed: process {info['process_id']}/"
+              f"{info['num_processes']}, {info['local_devices']} local / "
+              f"{info['devices']} global devices")
     import dataclasses
 
     from .config import DEFAULT_CONFIG
@@ -76,8 +84,15 @@ def main(argv=None) -> int:
     ap.add_argument("--batch", type=int, default=16)
     ap.add_argument("--chunk", type=int, default=256)
     ap.add_argument("--device", choices=["tpu", "cpu"], default="tpu")
-    ap.add_argument("--backend", choices=["device", "host"], default=None,
-                    help="homology backend (default: device kernel)")
+    # multi-host (jax.distributed); default to JAX_* env vars
+    ap.add_argument("--coordinator", default=None,
+                    help="coordinator address host:port for multi-host runs")
+    ap.add_argument("--num-processes", type=int, default=None)
+    ap.add_argument("--process-id", type=int, default=None)
+    ap.add_argument("--backend", choices=["auto", "device", "pallas", "host"],
+                    default=None,
+                    help="homology backend (default: auto — Pallas kernel "
+                         "for audio-sized clouds on TPU, XLA bitset else)")
     ap.add_argument("--wasserstein", choices=["exact", "sinkhorn"],
                     default=None,
                     help="exact = host JV engine (parity); sinkhorn = fused "
@@ -86,6 +101,9 @@ def main(argv=None) -> int:
     ap.add_argument("--bootstrap", type=int, default=None)
     ap.add_argument("--profile", default=None, metavar="DIR",
                     help="write a jax.profiler trace + stage timings to DIR")
+    ap.add_argument("--log", default=None, metavar="FILE",
+                    help="structured JSON-lines event log (also via "
+                         "TDA_TPU_LOG env var)")
     # job-level sharding (reference BATCH_START/BATCH_END/WRITE_PARTIAL/
     # MERGE_PARTIALS env vars, tda_eeg_classification_v2.py:54-60,608-668)
     ap.add_argument("--batch-start", type=int,
@@ -98,15 +116,25 @@ def main(argv=None) -> int:
                     default=os.environ.get("MERGE_PARTIALS", "0") == "1")
     args = ap.parse_args(argv)
 
+    if args.log:
+        from .utils import logging as tlog
+        tlog.configure(args.log)
+
     runner = _build_runner(args)
     out_dir = Path(args.results)
     out_dir.mkdir(parents=True, exist_ok=True)
 
+    from .utils.logging import LOGGER
     from .utils.profiling import device_trace, GLOBAL_TIMES
 
+    import time as _time
+    t0 = _time.time()
+    LOGGER.event("command_start", command=args.command,
+                 n_recordings=len(runner.ds))
     with device_trace(args.profile):
         with GLOBAL_TIMES.stage(args.command):
             rc = _dispatch(args, runner, out_dir)
+    LOGGER.stage(args.command, _time.time() - t0)
     if args.profile:
         GLOBAL_TIMES.dump(Path(args.profile) / "stage_times.json")
     return rc
@@ -136,6 +164,15 @@ def _dispatch(args, runner, out_dir: Path) -> int:
     if args.command in ("features", "study"):
         bs = args.batch_start if args.batch_start >= 0 else None
         be = args.batch_end if args.batch_end >= 0 else None
+        # multi-process: each process takes its deterministic slice and
+        # writes a partial; process 0 later merges (--merge-partials) —
+        # the reference's BATCH_START/BATCH_END contract, automated
+        import jax
+        if jax.process_count() > 1 and bs is None and be is None:
+            from .runtime import process_shard
+            bs, be = process_shard(len(runner.ds))
+            args.write_partial = True
+            print(f"process shard: recordings [{bs}, {be})")
         X, y, subjects, filenames, meta = runner.compute_feature_dataset(
             batch_start=bs, batch_end=be)
         from .models.classify import feature_names_220

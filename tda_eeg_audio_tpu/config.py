@@ -86,7 +86,10 @@ class PipelineConfig:
     alpha: float = 0.05
 
     # TPU execution
-    homology_backend: Literal["device", "host"] = "device"
+    # "device" = XLA lockstep bitset; "pallas" = per-window TPU kernel;
+    # "auto" routes per shape+platform (pallas for the n=124 audio Takens
+    # clouds on TPU, bitset elsewhere); "host" = native C++ engine
+    homology_backend: Literal["auto", "device", "pallas", "host"] = "auto"
     wasserstein_backend: Literal["host_exact", "sinkhorn"] = "host_exact"
     compute_dtype: str = "float32"
 

@@ -63,7 +63,11 @@ def run_tda(dms: np.ndarray, thresh: float, backend: str = "device",
             chunk: int = 256, n_pts: np.ndarray | None = None,
             na_max: int = 96, step_budget: int = 4096,
             verbose: bool = False) -> dict:
-    """Batched exact H0+H1+features over (N, n, n) distance matrices."""
+    """Batched exact H0+H1+features over (N, n, n) distance matrices.
+
+    backend: "device" (XLA lockstep bitset), "pallas" (per-window TPU
+    kernel), "auto" (per shape+platform routing), or "host" (C++ engine).
+    """
     N, n, _ = dms.shape
     if backend == "host":
         from ..native.engine import rips_persistence_batch
@@ -72,18 +76,41 @@ def run_tda(dms: np.ndarray, thresh: float, backend: str = "device",
         out["deaths"] = np.where(out["mask"], out["deaths"], 0.0)
         return _features_from(out, n, n_pts)
 
-    from ..ops.homology_h1 import h1_diagrams
+    if backend == "auto":
+        from .programs import h1_backend_auto
+
+        backend = "pallas" if h1_backend_auto(n) == "pallas" else "device"
+
+    if backend == "pallas":
+        from ..ops.homology_pallas import h1_diagrams_pallas
+        from .programs import PALLAS_NA_MAX
+
+        def h1_call(blk, npts):
+            return h1_diagrams_pallas(
+                blk, npts, n=n, thresh=thresh,
+                na_max=min(na_max, PALLAS_NA_MAX), h1_max=na_max,
+                step_budget=max(step_budget, 8192))
+    else:
+        from ..ops.homology_h1 import h1_diagrams
+
+        def h1_call(blk, npts):
+            return h1_diagrams(blk, npts, n=n, thresh=thresh, na_max=na_max,
+                               h1_max=na_max, step_budget=step_budget)
 
     keys = ("births", "deaths", "mask", "h0_deaths", "h0_mask", "n_essential",
             "n_tree", "overflow")
     acc = {k: [] for k in keys}
     for c in range(0, N, chunk):
         blk = dms[c:c + chunk]
+        npts_blk = None if n_pts is None else \
+            jnp.asarray(np.concatenate(
+                [n_pts[c:c + chunk],
+                 np.full(chunk - len(blk), n, n_pts.dtype)])
+                if chunk - len(blk) else n_pts[c:c + chunk]).astype(jnp.int32)
         pad = chunk - len(blk)
         if pad:
             blk = np.concatenate([blk, np.tile(blk[-1:], (pad, 1, 1))])
-        out = h1_diagrams(jnp.asarray(blk), n=n, thresh=thresh, na_max=na_max,
-                          h1_max=na_max, step_budget=step_budget)
+        out = h1_call(jnp.asarray(blk), npts_blk)
         for k in keys:
             acc[k].append(np.array(out[k])[: chunk - pad])
     out = {k: np.concatenate(v) for k, v in acc.items()}

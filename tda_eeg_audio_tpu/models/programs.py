@@ -520,18 +520,46 @@ def audio_takens_program(audio: jnp.ndarray, n_samples: jnp.ndarray,
                 use_idx=use_idx, envelope=env, n_rs=n_rs)
 
 
-@partial(jax.jit, static_argnames=("thresh", "na_max", "h1_max", "step_budget"))
+PALLAS_NA_MAX = 80    # stored-column VMEM arena cap at n=124 (audio Takens)
+
+
+def h1_backend_auto(n: int) -> str:
+    """Route per shape+platform: the per-window Pallas kernel wins 14x at
+    the audio n=124 shape (0.41 vs 5.7 ms/window measured on v5e); the
+    batched XLA lockstep stays ahead at n=47 (0.19 vs 0.28 ms/window)."""
+    import jax
+
+    return "pallas" if (n > 64 and jax.default_backend() == "tpu") else "bitset"
+
+
+@partial(jax.jit, static_argnames=("thresh", "na_max", "h1_max", "step_budget",
+                                   "backend"))
 def audio_window_diagrams(dm: jnp.ndarray, n_pts: jnp.ndarray,
                           thresh: float = 2.0, na_max: int = 96,
-                          h1_max: int = 96, step_budget: int = 8192):
+                          h1_max: int = 96, step_budget: int = 8192,
+                          backend: str = "auto"):
     """(B, P, P) Takens distance matrices → H0/H1 diagrams + features.
 
     Windows with < 3 valid points get the reference's degenerate [[0, 0]]
     sentinel diagrams (scripts/utils.py:125-126).
+
+    backend: "auto" | "pallas" | "bitset" — "auto" resolves per platform at
+    trace time (single-platform processes; tests force one platform first).
     """
-    out = h1_diagrams(dm, n_pts.astype(jnp.int32), n=dm.shape[-1],
-                      thresh=thresh, na_max=na_max,
-                      h1_max=h1_max, step_budget=step_budget)
+    n = dm.shape[-1]
+    if backend == "auto":
+        backend = h1_backend_auto(n)
+    if backend == "pallas":
+        from ..ops.homology_pallas import h1_diagrams_pallas
+
+        out = h1_diagrams_pallas(
+            dm, n_pts.astype(jnp.int32), n=n, thresh=thresh,
+            na_max=min(na_max, PALLAS_NA_MAX), h1_max=h1_max,
+            step_budget=step_budget)
+    else:
+        out = h1_diagrams(dm, n_pts.astype(jnp.int32), n=n,
+                          thresh=thresh, na_max=na_max,
+                          h1_max=h1_max, step_budget=step_budget)
     degenerate = n_pts < 3
     # H0: essential = components among valid points = n_pts − n_tree
     n_comp = (n_pts - out["n_tree"]).astype(jnp.int32)

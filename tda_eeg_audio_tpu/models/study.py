@@ -27,6 +27,7 @@ from ..config import PipelineConfig, DEFAULT_CONFIG, FREQ_BANDS, GOOD_ELECTRODES
 from . import programs, classify, homology_exec
 from ..ops import stats as dstats
 from ..utils.profiling import GLOBAL_TIMES
+from ..utils import logging as tlog
 
 BAND_NAMES = list(FREQ_BANDS)
 N_BANDS = len(BAND_NAMES)
@@ -58,6 +59,9 @@ class StudyRunner:
         if backend is None:
             backend = cfg.homology_backend
         self.backend = backend
+        # device-class backends take the fused single-call programs;
+        # "auto"/"pallas" differ from "device" only in the audio-H1 kernel
+        self.on_device = backend in ("auto", "device", "pallas")
         self.failed_files: list[tuple[str, str]] = []
         self._failed_idx: set[int] = set()
 
@@ -77,6 +81,8 @@ class StudyRunner:
             if i not in self._failed_idx:
                 self._failed_idx.add(i)
                 self.failed_files.append((fn, repr(e)))
+                tlog.LOGGER.event("load_failed", file=fn, condition=cond,
+                             error=repr(e))
             if self.verbose:
                 print(f"  LOAD FAILED {fn}: {e!r}")
             return dict(eeg_raw=np.zeros((65, 250), np.float32),
@@ -267,7 +273,7 @@ class StudyRunner:
                     use_idx[bi_, bd, :len(sel)] = sel
                     use_mask[bi_, bd, :len(sel)] = True
 
-            if self.backend == "device":
+            if self.on_device:
                 # fused single-call path: nothing big crosses the link, and
                 # dispatch is async — upload of the next batch overlaps the
                 # current batch's compute
@@ -337,6 +343,10 @@ class StudyRunner:
                     max_windows_per_band=K,
                     n_windows_total=nw * N_BANDS,
                     n_windows_used_total=used * N_BANDS))
+        tlog.LOGGER.stage("features", time.time() - t0,
+                     items=len(all_idx) * N_BANDS * K,
+                     n_recordings=len(X_rows), K=K,
+                     n_failed=len(self.failed_files))
         return (np.stack(X_rows), np.array(y), np.array(subjects), filenames,
                 dict(min_windows=min_windows, K=K,
                      failed_files=[fn for fn, _ in self.failed_files],
@@ -574,6 +584,9 @@ class StudyRunner:
                       f"dispatched ({time.time() - t0:.0f}s)")
         while pending:
             self._drain_fused(pending.pop(0), rows, FEATS)
+        tlog.LOGGER.stage("fused_comparison", time.time() - t0,
+                     items=len(all_idx) * N_BANDS * K_CMP,
+                     n_mismatch_cached=len(mis_cache))
         self._fused_cache = rows
         return rows
 
@@ -610,7 +623,7 @@ class StudyRunner:
         """Hypothesis-2 analysis → eeg_audio_tda_comparison.json schema."""
         cfg = self.cfg
         n_perm = n_permutations or 1000
-        if self.backend == "device" and cfg.wasserstein_backend == "sinkhorn":
+        if self.on_device and cfg.wasserstein_backend == "sinkhorn":
             rows = [r for r in self._fused_rows() if r["n_windows"] > 0]
             return self._comparison_stats(rows, n_perm)
         rows = []
@@ -780,7 +793,7 @@ class StudyRunner:
         audio; mismatched = EEG vs the subject's FIRST recording of the
         opposite condition.
         """
-        if (self.backend == "device"
+        if (self.on_device
                 and self.cfg.wasserstein_backend == "sinkhorn"):
             frows = self._fused_rows()
             subj_conds = defaultdict(set)
