@@ -81,20 +81,41 @@ def synth_dataset_index(
 
 
 class SynthDataset:
-    """Lazy synthetic dataset with the reference's directory-contract semantics."""
+    """Lazy synthetic dataset with the reference's directory-contract semantics.
+
+    cache=True keeps generated recordings in memory (~8 MB each, ~12 GB for
+    the full 1,440) — the analogue of real .mat files sitting in the OS page
+    cache.  Generation costs ~120 ms/recording on this host, so without the
+    cache multi-stage studies (features + comparison re-load every file)
+    spend more wall clock in numpy RNG than the TPU spends on the pipeline.
+    """
 
     def __init__(self, n_subjects: int = 45, n_per_subject: int = 16,
-                 cfg: PipelineConfig = DEFAULT_CONFIG):
+                 cfg: PipelineConfig = DEFAULT_CONFIG, cache: bool = True):
         self.cfg = cfg
         self.index = synth_dataset_index(n_subjects, n_per_subject, n_per_subject)
+        self._cache: dict[int, dict] | None = {} if cache else None
 
     def __len__(self):
         return len(self.index)
 
+    def preload(self, verbose: bool = False):
+        """Generate every recording into the cache (bench warm-up)."""
+        for i in range(len(self)):
+            self.load(i)
+            if verbose and i % 200 == 0:
+                print(f"  preload {i}/{len(self)}")
+        return self
+
     def load(self, i: int):
+        if self._cache is not None and i in self._cache:
+            return self._cache[i]
         filename, subject, condition = self.index[i]
         ut = int(filename.split("_ut")[1].split(".")[0])
         s = int(subject[2:])
         eeg, audio, fs_audio = synth_recording(s, ut, condition, self.cfg)
-        return dict(filename=filename, subject=subject, condition=condition,
-                    eeg_raw=eeg, audio=audio, fs_audio=fs_audio)
+        rec = dict(filename=filename, subject=subject, condition=condition,
+                   eeg_raw=eeg, audio=audio, fs_audio=fs_audio)
+        if self._cache is not None:
+            self._cache[i] = rec
+        return rec

@@ -64,6 +64,16 @@ class StudyRunner:
         self.on_device = backend in ("auto", "device", "pallas")
         self.failed_files: list[tuple[str, str]] = []
         self._failed_idx: set[int] = set()
+        # HBM-resident ingest (io.device_store.DeviceStore): every stage
+        # reads device slices; the host<->device link is crossed once per
+        # recording at store build, not once per stage
+        self.store = dataset if hasattr(dataset, "batch") else None
+        if self.store is not None:
+            for i, m in enumerate(self.store.metas):
+                if m.get("failed"):
+                    self._failed_idx.add(i)
+                    self.failed_files.append((m["filename"],
+                                              m.get("error", "load failed")))
 
     # ---------------- data staging ----------------
 
@@ -90,11 +100,28 @@ class StudyRunner:
                         filename=fn, subject=subj, condition=cond,
                         failed=True)
 
-    def _load_batch(self, idxs):
-        """Stage a batch to padded arrays.  Per-file failures are isolated —
-        the recording is zeroed out, masked (0 samples ⇒ 0 windows) and
-        recorded in self.failed_files, mirroring the reference's per-file
-        try/except + failed list (notebook 1 cell 3; SURVEY §5)."""
+    def _rec_length(self, i: int) -> tuple[int, bool]:
+        """(n_eeg_samples, failed) without staging the waveforms — store
+        mode reads host-side lengths; host mode loads the recording."""
+        if self.store is not None:
+            m = self.store.metas[i]
+            return int(min(self.store.ns_e[i], T_EEG_PAD)), \
+                bool(m.get("failed"))
+        rec = self._safe_load(i)
+        if rec.get("failed"):
+            return 0, True
+        return min(rec["eeg_raw"].shape[1], T_EEG_PAD), False
+
+    def _load_batch(self, idxs, pad_to=None):
+        """Stage a batch to padded arrays (device slices in store mode;
+        host numpy otherwise).  pad_to pads the batch dim with zero-length
+        recordings so fused programs keep one compiled shape.  Per-file
+        failures are isolated — the recording is zeroed out, masked
+        (0 samples ⇒ 0 windows) and recorded in self.failed_files,
+        mirroring the reference's per-file try/except + failed list
+        (notebook 1 cell 3; SURVEY §5)."""
+        if self.store is not None:
+            return self.store.batch(idxs, pad_to)
         eegs, audios, ns_e, ns_a, metas = [], [], [], [], []
         for i in idxs:
             rec = self._safe_load(i)
@@ -111,8 +138,17 @@ class StudyRunner:
             metas.append(dict(filename=rec["filename"], subject=rec["subject"],
                               condition=rec["condition"],
                               failed=rec.get("failed", False)))
-        return (np.stack(eegs), np.stack(audios),
-                np.array(ns_e), np.array(ns_a), metas)
+        eeg, audio = np.stack(eegs), np.stack(audios)
+        ns_e, ns_a = np.array(ns_e), np.array(ns_a)
+        if pad_to is not None and pad_to > len(idxs):
+            padn = pad_to - len(idxs)
+            eeg = np.concatenate(
+                [eeg, np.zeros((padn, *eeg.shape[1:]), eeg.dtype)])
+            audio = np.concatenate(
+                [audio, np.zeros((padn, audio.shape[1]), audio.dtype)])
+            ns_e = np.concatenate([ns_e, np.full(padn, 250)])
+            ns_a = np.concatenate([ns_a, np.full(padn, 44100)])
+        return eeg, audio, ns_e, ns_a, metas
 
     # ---------------- stage: EEG distance matrices (graphs/) ----------------
 
@@ -229,10 +265,9 @@ class StudyRunner:
         # (tda_eeg_classification_v2.py:565-567).
         counts = {}
         for i in all_idx:
-            rec = self._safe_load(i)
-            if rec.get("failed"):
+            n_e, failed = self._rec_length(i)
+            if failed:
                 continue
-            n_e = min(rec["eeg_raw"].shape[1], T_EEG_PAD)
             counts[i] = max((n_e - win) // step + 1, 0)
         all_idx = [i for i in all_idx if i in counts]
         if not all_idx:
@@ -276,13 +311,11 @@ class StudyRunner:
             if self.on_device:
                 # fused single-call path: nothing big crosses the link, and
                 # dispatch is async — upload of the next batch overlaps the
-                # current batch's compute
-                eeg, _, ns_e, _, metas = self._load_batch(idxs)
+                # current batch's compute (store mode: no upload at all)
+                eeg, _, ns_e, _, metas = self._load_batch(
+                    idxs, pad_to=self.eeg_batch)
                 if B < self.eeg_batch:      # keep one compiled shape
                     padn = self.eeg_batch - B
-                    eeg = np.concatenate([eeg, np.zeros((padn, *eeg.shape[1:]),
-                                                        eeg.dtype)])
-                    ns_e = np.concatenate([ns_e, np.full(padn, 250)])
                     use_idx = np.concatenate(
                         [use_idx, np.zeros((padn, N_BANDS, K), np.int32)])
                     use_mask = np.concatenate(
@@ -421,7 +454,17 @@ class StudyRunner:
         am = aud_out["h0_mask"][:, :K_H0_AUD]
         a_d[:, :ad.shape[1]] = np.where(np.isfinite(ad), ad, 0.0)
         a_m[:, :ad.shape[1]] = am
-        w_h0 = self._wass_chunks(e_b, e_d, e_m, a_b, a_d, a_m)
+        if self.cfg.wasserstein_backend == "sinkhorn":
+            # H0 bars all have birth 0 → the exact monotone-matching DP
+            # (ops.wasserstein.wasserstein_h0_exact) beats Sinkhorn on both
+            # accuracy (exact) and speed (~20x)
+            from ..ops.wasserstein import wasserstein_h0_exact
+
+            w_h0 = np.asarray(wasserstein_h0_exact(
+                jnp.asarray(e_d), jnp.asarray(e_m),
+                jnp.asarray(a_d), jnp.asarray(a_m)))
+        else:
+            w_h0 = self._wass_chunks(e_b, e_d, e_m, a_b, a_d, a_m)
 
         # H1 (finite bars only — reference safe_wasserstein cleanup)
         e1b = eeg_out["births"][:, :K_H1].astype(np.float32)
@@ -497,13 +540,9 @@ class StudyRunner:
         cache = {}
         for b0 in range(0, len(mis_list), self.eeg_batch):
             idxs = mis_list[b0:b0 + self.eeg_batch]
-            _, audio, _, ns_a, metas = self._load_batch(idxs)
+            _, audio, _, ns_a, metas = self._load_batch(
+                idxs, pad_to=self.eeg_batch)
             B = len(idxs)
-            if B < self.eeg_batch:
-                padn = self.eeg_batch - B
-                audio = np.concatenate(
-                    [audio, np.zeros((padn, audio.shape[1]), audio.dtype)])
-                ns_a = np.concatenate([ns_a, np.full(padn, 44100)])
             out = programs.audio_h1_program(
                 jnp.asarray(audio), jnp.asarray(ns_a), self.cfg,
                 N_RS_MAX, N_WIN_MAX, K_CMP, aud_chunk=aud_chunk)
@@ -540,7 +579,8 @@ class StudyRunner:
         pending = []
         for b0 in range(0, len(all_idx), self.eeg_batch):
             idxs = all_idx[b0:b0 + self.eeg_batch]
-            eeg, audio, ns_e, ns_a, metas = self._load_batch(idxs)
+            eeg, audio, ns_e, ns_a, metas = self._load_batch(
+                idxs, pad_to=self.eeg_batch)
             B = len(idxs)
             Bp = self.eeg_batch
             WB = N_BANDS * K_CMP
@@ -558,14 +598,6 @@ class StudyRunner:
                     mis_b[bi_], mis_d[bi_], mis_m[bi_] = c["b"], c["d"], c["m"]
                     mis_n_win[bi_] = c["n_win"]
                     mis_degen[bi_] = c["degen"]
-            if B < Bp:
-                padn = Bp - B
-                eeg = np.concatenate([eeg, np.zeros((padn, *eeg.shape[1:]),
-                                                    eeg.dtype)])
-                audio = np.concatenate([audio, np.zeros((padn, audio.shape[1]),
-                                                        audio.dtype)])
-                ns_e = np.concatenate([ns_e, np.full(padn, 250)])
-                ns_a = np.concatenate([ns_a, np.full(padn, 44100)])
             out = programs.comparison_program(
                 jnp.asarray(eeg), jnp.asarray(ns_e), jnp.asarray(audio),
                 jnp.asarray(ns_a),
