@@ -40,6 +40,20 @@ def build_cost_matrix(b1, d1, m1, b2, d2, m2, big: float = 1e9):
     K2 = b2.shape[1]
     inf_ = jnp.float32(big)
 
+    # reference safe_wasserstein (scripts/utils.py:186-187): an EMPTY cleaned
+    # diagram becomes the single sentinel point [[0, 0]].  Without this, an
+    # empty side zeroes the non-own-diagonal blocker below and real bars can
+    # "match" other bars' diagonal slots for free — the solver then reports
+    # ~0 where persim reports sum((d-b)/2).
+    def sentinel(b, d, m):
+        empty = ~jnp.any(m, axis=1, keepdims=True)              # (B, 1)
+        first = jnp.arange(b.shape[1])[None, :] == 0
+        z = empty & first
+        return (jnp.where(z, 0.0, b), jnp.where(z, 0.0, d), m | z)
+
+    b1, d1, m1 = sentinel(b1, d1, m1)
+    b2, d2, m2 = sentinel(b2, d2, m2)
+
     dul = jnp.maximum(
         jnp.abs(b1[:, :, None] - b2[:, None, :]),
         jnp.abs(d1[:, :, None] - d2[:, None, :]),
@@ -77,7 +91,7 @@ def build_cost_matrix(b1, d1, m1, b2, d2, m2, big: float = 1e9):
 
 @partial(jax.jit, static_argnames=("steps", "iters"))
 def sinkhorn_cost(D, eps_hi: float = 3e-2, eps_lo: float = 1e-4,
-                  steps: int = 6, iters: int = 80):
+                  steps: int = 6, iters: int = 40):
     """ε-annealed entropic OT cost on the persim cost matrix.
 
     Log-domain Sinkhorn with uniform marginals; the dual potentials are
@@ -87,6 +101,13 @@ def sinkhorn_cost(D, eps_hi: float = 3e-2, eps_lo: float = 1e-4,
     on study-shaped diagram pairs: median 8e-5, max 5e-4 relative error —
     inside the tolerance the downstream Wilcoxon/FDR stats are gated at
     (SURVEY §7 "Wasserstein parity").  Returns <P, D> (no entropy term).
+
+    iters=40: on real study H1 diagram pairs 20 inner iterations per ε
+    rung already reach the ladder's floor (max rel err 1.6e-4 vs exact JV,
+    identical to iters=80); 40 keeps 2x the wall-clock win while bounding
+    adversarially dense synthetic diagrams (90+ overlapping bars) at
+    max ~8e-3.  H0 no longer goes through here at all — see
+    `wasserstein_h0_exact`.
     """
     B, S, _ = D.shape
     scale = jnp.maximum(jnp.max(jnp.where(D < 1e8, D, 0.0), axis=(1, 2)), 1e-9)
@@ -108,3 +129,55 @@ def sinkhorn_cost(D, eps_hi: float = 3e-2, eps_lo: float = 1e-4,
     eps = (eps_lo * scale)[:, None, None]
     P = jnp.exp((-Dm + f + g) / eps)
     return jnp.sum(P * jnp.where(D < 1e8, D, 0.0), axis=(1, 2))
+
+
+BIGF = jnp.float32(3e38)
+
+
+@jax.jit
+def wasserstein_h0_exact(d1, m1, d2, m2):
+    """EXACT persim Wasserstein between H0 diagrams, batched on device.
+
+    H0 bars all have birth 0, so the diagrams are point sets {(0, d)}: the
+    ground L∞ cost between bars is |d_i − d_j| and the diagonal cost is
+    d/2 — a 1-D transport problem.  On death values sorted ascending the
+    pair cost |a_i − b_j| is a Monge array, so an optimal matching is
+    monotone (non-crossing) and the classic O(K1·K2) alignment DP
+
+        dp[i][j] = min(dp[i-1][j-1] + |a_i - b_j|,     match
+                       dp[i-1][j]   + a_i / 2,         a_i → diagonal
+                       dp[i][j-1]   + b_j / 2)         b_j → diagonal
+
+    is exact.  The in-row dependency (third term) is a min-plus prefix
+    scan: with w_j = b_j/2 and base c_j = min(term1, term2),
+    dp_row = cumw + cummin(c − cumw).  One lax.scan over K1 rows,
+    vectorized over (batch × K2) — ~200x less arithmetic than entropic
+    Sinkhorn on the padded (K1+K2)² cost matrix, and exact instead of
+    approximate.  Padded slots become (0, 0) bars, which cost nothing and
+    cannot distort the optimum; an all-empty side degenerates to the
+    reference's [[0, 0]] sentinel semantics (scripts/utils.py:186-187).
+
+    d1: (B, K1) finite deaths, m1 valid mask; likewise side 2.
+    Returns (B,) f32 distances.
+    """
+    a = jnp.sort(jnp.where(m1, d1, 0.0), axis=1)        # (B, K1) ascending
+    b = jnp.sort(jnp.where(m2, d2, 0.0), axis=1)        # (B, K2)
+    B, K1 = a.shape
+    K2 = b.shape[1]
+    bcol = jnp.concatenate([jnp.zeros((B, 1)), b], axis=1)      # (B, K2+1)
+    w = bcol / 2.0
+    cumw = jnp.cumsum(w, axis=1)                         # dp[0][j] prefix
+    row0 = cumw
+
+    def step(row, ai):                                   # ai: (B,)
+        term2 = row + ai[:, None] / 2.0
+        prev_shift = jnp.concatenate([jnp.full((B, 1), BIGF), row[:, :-1]], 1)
+        term1 = prev_shift + jnp.abs(ai[:, None] - bcol)
+        c = jnp.minimum(jnp.where(jnp.arange(K2 + 1)[None, :] == 0,
+                                  BIGF, term1), term2)
+        c = c.at[:, 0].set(term2[:, 0])                  # j=0: diagonal only
+        row = cumw + jax.lax.associative_scan(jnp.minimum, c - cumw, axis=1)
+        return row, None
+
+    row, _ = jax.lax.scan(step, row0, a.T)
+    return row[:, K2]
