@@ -569,8 +569,18 @@ class StudyRunner:
         FEATS = ["mean_persistence", "total_persistence",
                  "persistence_entropy", "max_persistence", "n_features"]
         mis_idx = self._mismatch_index()
-        aud_chunk = max(min(self.tda_chunk // 4, 64), 16)
+        # the Pallas audio kernel's working set is tiny (VMEM arena), so one
+        # dispatch covers a whole batch's 1,200 windows; the XLA bitset
+        # kernel's (B, n, W) workspace caps the chunk at 64
+        from .programs import h1_backend_auto
+        if h1_backend_auto(self.cfg.max_takens_points) == "pallas":
+            aud_chunk = 240
+        else:
+            aud_chunk = max(min(self.tda_chunk // 4, 64), 16)
+        t_mc = time.time()
         mis_cache = self._mismatch_diagram_cache(mis_idx, aud_chunk)
+        tlog.LOGGER.stage("mismatch_cache", time.time() - t_mc,
+                          items=len(mis_cache))
         H_MIS = next(iter(mis_cache.values()))["b"].shape[-1] \
             if mis_cache else 96
         rows = []
@@ -607,7 +617,7 @@ class StudyRunner:
                 jnp.asarray(mis_n_win), jnp.asarray(mis_degen),
                 cfg, N_WIN_MAX, N_RS_MAX, K_CMP,
                 eeg_chunk=min(self.tda_chunk, 256),
-                aud_chunk=aud_chunk)
+                aud_chunk=aud_chunk, w_chunk=1200)
             pending.append((out, idxs, metas, has_mis))
             while len(pending) > 2:
                 self._drain_fused(pending.pop(0), rows, FEATS)
@@ -657,7 +667,11 @@ class StudyRunner:
         n_perm = n_permutations or 1000
         if self.on_device and cfg.wasserstein_backend == "sinkhorn":
             rows = [r for r in self._fused_rows() if r["n_windows"] > 0]
-            return self._comparison_stats(rows, n_perm)
+            t_st = time.time()
+            out = self._comparison_stats(rows, n_perm)
+            tlog.LOGGER.stage("comparison_stats", time.time() - t_st,
+                              items=len(rows))
+            return out
         rows = []
         t0 = time.time()
         all_idx = list(range(len(self.ds)))

@@ -119,6 +119,65 @@ def _prim_forest(key_mat: jnp.ndarray) -> jnp.ndarray:
     return tree
 
 
+def _boruvka_forest(key_mat: jnp.ndarray) -> jnp.ndarray:
+    """Minimum spanning forest via batched Boruvka — same contract as
+    `_prim_forest`, ~n/log(n) times fewer sequential steps.
+
+    Each round every component hooks its cheapest outgoing edge; with the
+    strict total order on ranks the forest is unique (= Kruskal's), the
+    only hooking cycles are mutual 2-cycles on a shared cheapest edge
+    (broken by keeping the smaller label as root), and components at least
+    halve per round — ceil(log2(n)) rounds instead of n-1 scan steps.
+    All component lookups are broadcast-compare + reduce (no gathers),
+    labels are vertex ids.
+    """
+    B, n, _ = key_mat.shape
+    vr = jnp.arange(n, dtype=jnp.int32)
+    label0 = jnp.broadcast_to(vr[None, :], (B, n))
+    tree0 = jnp.zeros((B, n, n), bool)
+    n_rounds = max(int(np.ceil(np.log2(max(n, 2)))), 1)
+
+    def lookup(values, keys):
+        """values (B, n) indexed by vertex id → values[keys] (B, n)."""
+        hit = vr[None, None, :] == keys[:, :, None]              # (B, n, n)
+        return jnp.sum(jnp.where(hit, values[:, None, :], 0), axis=-1)
+
+    def round_(carry, _):
+        label, tree = carry
+        cross = label[:, :, None] != label[:, None, :]
+        km = jnp.where(cross, key_mat, BIG)                      # (B, n, n)
+        row_min = jnp.min(km, axis=2)                            # (B, n)
+        row_arg = jnp.argmin(km, axis=2).astype(jnp.int32)
+        same = label[:, :, None] == label[:, None, :]
+        comp_min = jnp.min(jnp.where(same, row_min[:, None, :], BIG), axis=2)
+        # winner vertex of each component: smallest v attaining comp_min
+        att = same & (row_min[:, None, :] == comp_min[:, :, None]) \
+            & (comp_min[:, :, None] < BIG)
+        win_v = jnp.min(jnp.where(att, vr[None, None, :], n), axis=2)
+        is_winner = (vr[None, :] == win_v) & (row_min < BIG)     # (B, n)
+        # add each winning edge (v, row_arg[v]) symmetrically
+        upd = is_winner[:, :, None] & (vr[None, None, :] == row_arg[:, :, None])
+        tree = tree | upd | jnp.transpose(upd, (0, 2, 1))
+        # hook: every vertex's component -> its winner's target label
+        tgt_label = lookup(label, row_arg)                       # label[arg[v]]
+        win_safe = jnp.minimum(win_v, n - 1).astype(jnp.int32)
+        parent = jnp.where(comp_min < BIG,
+                           lookup(tgt_label, win_safe), label)   # (B, n)
+        # mutual 2-cycles (two components sharing their cheapest edge):
+        # keep the smaller label as the root
+        back = lookup(parent, parent)
+        parent = jnp.where((back == label) & (parent > label), label, parent)
+        # pointer jumping to full compression (depth ≤ n after k jumps 2^k)
+        def jump(lab, _):
+            return lookup(lab, lab), None
+        label, _ = jax.lax.scan(jump, parent, None, length=n_rounds)
+        return (label, tree), None
+
+    (label, tree), _ = jax.lax.scan(round_, (label0, tree0), None,
+                                    length=n_rounds)
+    return tree
+
+
 def _phase1(dm, n: int, thresh: float, na_max: int, n_pts=None):
     """Edge ranks, Prim forest, apparent-pairs sieve, H0 bars, creator list.
 
@@ -166,7 +225,7 @@ def _phase1(dm, n: int, thresh: float, na_max: int, n_pts=None):
 
     # spanning forest on in-complex ranks → positivity + H0
     key_mat = jnp.where(rank_mat < m_cx[:, None, None], rank_mat, BIG)
-    tree_mat = _prim_forest(key_mat)
+    tree_mat = _boruvka_forest(key_mat)
     tree_static = tree_mat.reshape(B, n * n)[:, flat_ut]
 
     # apparent sieve: edge (static s) apparent iff ∃v: both cross ranks < rank

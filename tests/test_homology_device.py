@@ -224,3 +224,32 @@ def test_enclosing_radius_truncation_exact():
             np.asarray(out["h0_mask"])[i]])
         rd = np.sort([d for b, d in ref_h0 if np.isfinite(d) and d > 0])
         np.testing.assert_allclose(hd, rd, rtol=1e-5)
+
+
+def test_boruvka_equals_prim():
+    """The log-round Boruvka forest is identical to Prim's on strict-rank
+    key matrices, including sparse/disconnected ones."""
+    from tda_eeg_audio_tpu.ops.homology_h1 import (
+        _prim_forest, _boruvka_forest, BIG)
+
+    rng = np.random.default_rng(3)
+    for n in (5, 23, 47):
+        for sparse in (False, True):
+            B = 4
+            w = rng.random((B, n, n))
+            w = w + w.transpose(0, 2, 1)
+            iu, ju = np.triu_indices(n, 1)
+            keys = np.full((B, n, n), BIG, np.int64)
+            for b in range(B):
+                order = np.argsort(w[b][iu, ju], kind="stable")
+                r = np.empty_like(order)
+                r[order] = np.arange(len(order))
+                keys[b][iu, ju] = r
+                keys[b][ju, iu] = r
+            if sparse:
+                m = rng.random((B, n, n)) < 0.4
+                m = m & m.transpose(0, 2, 1)
+                keys = np.where(m, keys, BIG)
+            k = jnp.asarray(keys.astype(np.int32))
+            np.testing.assert_array_equal(np.asarray(_prim_forest(k)),
+                                          np.asarray(_boruvka_forest(k)))
