@@ -162,7 +162,7 @@ def main() -> None:
 
     def device_pass(k):
         e = synth_eeg(k, B)
-        agg = eeg_feature_program(e, ns, ui, um, cfg, N_WIN, K, chunk=CHUNK)
+        agg, _ = eeg_feature_program(e, ns, ui, um, cfg, N_WIN, K, chunk=CHUNK)
         return np.asarray(agg)
 
     t0 = time.time()

@@ -62,6 +62,21 @@ def _build_runner(args):
 
         ds = SynthDataset(n_subjects=args.subjects,
                           n_per_subject=args.per_subject)
+    # HBM-resident ingest: stage the dataset into device memory once so
+    # multi-stage commands (study) never re-cross the host<->device link
+    # (io/device_store.py).  Default on for the TPU; --no-store opts out
+    # (e.g. datasets larger than HBM).
+    use_store = args.store if args.store is not None         else (args.device == "tpu")
+    if use_store:
+        import jax
+
+        from .config import GOOD_ELECTRODES
+        from .io.device_store import build_from_dataset
+
+        store = build_from_dataset(ds, GOOD_ELECTRODES, verbose=True)
+        store.index = ds.index
+        jax.block_until_ready((store.eeg, store.audio))
+        ds = store
     return StudyRunner(ds, cfg, eeg_batch=args.batch,
                        tda_chunk=args.chunk, results_dir=args.results,
                        backend=args.backend)
@@ -76,6 +91,10 @@ def main(argv=None) -> int:
                                         "control", "eda", "study"])
     ap.add_argument("--data", default=None,
                     help=".mat data root (data/slow, data/fast); default: synthetic")
+    ap.add_argument("--store", action=argparse.BooleanOptionalAction,
+                    default=None,
+                    help="stage the dataset into device HBM once "
+                         "(default: on for TPU, off for CPU)")
     ap.add_argument("--subjects", type=int, default=45)
     ap.add_argument("--per-subject", type=int, default=16)
     ap.add_argument("--results", default="results")

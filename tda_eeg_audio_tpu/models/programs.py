@@ -147,24 +147,29 @@ def eeg_feature_program(eeg: jnp.ndarray, n_samples: jnp.ndarray,
             [flat, jnp.broadcast_to(far, (pad, n, n))], axis=0)
 
     def do_chunk(dm):
-        f, _ = window_tda_features(dm, thresh=cfg.max_edge_length,
-                                   na_max=na_max, h1_max=na_max,
-                                   step_budget=step_budget)
-        return f
+        f, out = window_tda_features(dm, thresh=cfg.max_edge_length,
+                                     na_max=na_max, h1_max=na_max,
+                                     step_budget=step_budget)
+        return f, out["overflow"]
 
-    feats = jax.lax.map(do_chunk, flat.reshape(n_chunks, chunk, n, n))
+    feats, ovf = jax.lax.map(do_chunk, flat.reshape(n_chunks, chunk, n, n))
     feats = feats.reshape(-1, 2, 11)[:total].reshape(B, N_BANDS, K, 22)
+    # per-recording overflow (na_max/step-budget exceeded on any used
+    # window): the caller reroutes those recordings through the staged
+    # path's host fallback instead of silently keeping a truncated diagram
+    ovf = (ovf.reshape(-1)[:total].reshape(B, N_BANDS, K)
+           & use_mask.reshape(B, N_BANDS, K)).any(axis=(1, 2))
     agg = aggregate_mean_std(feats, use_mask.reshape(B, N_BANDS, K))
     agg = agg.reshape(B, N_BANDS, 2, 11, 2)
     if not return_dm0:
-        return agg
+        return agg, ovf
     # window-0 distance matrix per band for host-side runtime validation —
     # the reference validates distance_matrices[0] of each band at runtime
     # and persists issues into per-file metadata (C14;
     # tda_eeg_classification_v2.py:376-382)
     corr0 = tgeo.correlation_matrix(wins[:, :, 0])            # (B, 5, n, n)
     dm0 = tgeo.correlation_to_distance(corr0, cfg.distance_method)
-    return agg, dm0
+    return agg, dm0, ovf
 
 
 def recording_features(dist: jnp.ndarray, use_idx: jnp.ndarray,

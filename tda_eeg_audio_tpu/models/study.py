@@ -287,9 +287,14 @@ class StudyRunner:
 
         def drain(limit):
             while len(pending) > limit:
-                (agg, dm0), idxs_ = pending.pop(0)
+                out, idxs_ = pending.pop(0)
+                if len(out) == 3:
+                    agg, dm0, ovf = out
+                    ovf = np.asarray(ovf)[: len(idxs_)]
+                else:
+                    (agg, dm0), ovf = out, np.zeros(len(idxs_), bool)
                 done.append((np.asarray(agg)[: len(idxs_)],
-                             np.asarray(dm0)[: len(idxs_)], idxs_))
+                             np.asarray(dm0)[: len(idxs_)], ovf, idxs_))
 
         for b0 in range(0, len(all_idx), self.eeg_batch):
             idxs = all_idx[b0:b0 + self.eeg_batch]
@@ -320,11 +325,11 @@ class StudyRunner:
                         [use_idx, np.zeros((padn, N_BANDS, K), np.int32)])
                     use_mask = np.concatenate(
                         [use_mask, np.zeros((padn, N_BANDS, K), bool)])
-                agg_dev, dm0_dev = programs.eeg_feature_program(
+                agg_dev, dm0_dev, ovf_dev = programs.eeg_feature_program(
                     jnp.asarray(eeg), jnp.asarray(ns_e),
                     jnp.asarray(use_idx), jnp.asarray(use_mask),
                     cfg, N_WIN_MAX, K, chunk=self.tda_chunk, return_dm0=True)
-                pending.append(((agg_dev, dm0_dev), idxs))
+                pending.append(((agg_dev, dm0_dev, ovf_dev), idxs))
             else:
                 dist, wmask, metas = self.eeg_distances(idxs)
                 sel = jnp.take_along_axis(
@@ -339,7 +344,8 @@ class StudyRunner:
                     jnp.asarray(feats), jnp.asarray(use_mask)))
                 dm0 = np.array(dist[:, :, 0])                 # (B, 5, 47, 47)
                 pending.append(((agg.reshape(B, N_BANDS, 2, 11, 2), dm0),
-                                idxs))
+                                idxs))           # staged run_tda already
+                                                 # host-falls-back overflow
             drain(3)          # bound in-flight device memory (~4 batches)
             if self.verbose:
                 el = time.time() - t0
@@ -349,7 +355,19 @@ class StudyRunner:
         drain(0)
         from ..utils.validation import validate_distance_matrix
         file_metadata = []
-        for agg, dm0, idxs in done:
+        for agg, dm0, ovf, idxs in done:
+            # overflow recordings (na_max/step budget exceeded in the fused
+            # kernel — none observed at study sizes): recompute via the
+            # staged path, whose run_tda reroutes flagged windows to the
+            # exact host engine rather than keeping truncated diagrams
+            for bi_, i in enumerate(idxs):
+                if ovf[bi_] and i not in self._failed_idx:
+                    if self.verbose:
+                        print(f"  features: overflow → staged redo "
+                              f"{self.ds.index[i][0]}")
+                    tlog.LOGGER.event("feature_overflow_redo",
+                                      file=self.ds.index[i][0])
+                    agg[bi_] = self._staged_feature_agg([i], counts, K)[0]
             for bi_, i in enumerate(idxs):
                 if i in self._failed_idx:   # failed on the batch re-load
                     continue
@@ -384,6 +402,43 @@ class StudyRunner:
                 dict(min_windows=min_windows, K=K,
                      failed_files=[fn for fn, _ in self.failed_files],
                      file_metadata=file_metadata))
+
+    def _staged_feature_agg(self, idxs, counts, K):
+        """(len(idxs), 5, 2, 11, 2) feature aggregate via the staged path —
+        run_tda reroutes overflow windows to the exact host engine.  Used
+        for recordings whose fused-kernel reduction overflowed."""
+        cfg = self.cfg
+        B = len(idxs)
+        use_idx = np.zeros((B, N_BANDS, K), np.int32)
+        use_mask = np.zeros((B, N_BANDS, K), bool)
+        for bi_, i in enumerate(idxs):
+            stem = self.ds.index[i][0].replace(".mat", "")
+            nw = counts[i]
+            for bd, band in enumerate(BAND_NAMES):
+                take = min(K, nw)
+                sel = classify.window_sample_indices(
+                    stem, band, nw, take, cfg.window_sampling,
+                    cfg.window_sample_seed)
+                use_idx[bi_, bd, :len(sel)] = sel
+                use_mask[bi_, bd, :len(sel)] = True
+        # pad to eeg_batch so the already-compiled distance program is reused
+        eeg, _, ns_e, _, _ = self._load_batch(idxs, pad_to=self.eeg_batch)
+        dist, _, _ = programs.eeg_distance_program(
+            jnp.asarray(eeg), jnp.asarray(ns_e), cfg, N_WIN_MAX)
+        dist = dist[:B]
+        sel = jnp.take_along_axis(
+            dist, jnp.asarray(use_idx)[:, :, :, None, None], axis=2)
+        flat = np.array(sel).reshape(B * N_BANDS * K, 47, 47)
+        tda = homology_exec.run_tda(flat, cfg.max_edge_length,
+                                    self.backend, self.tda_chunk,
+                                    na_max=128,
+                                    verbose=self.verbose)
+        from ..ops.features import aggregate_mean_std
+
+        feats = tda["features"].reshape(B, N_BANDS, K, 22)
+        agg = np.array(aggregate_mean_std(
+            jnp.asarray(feats), jnp.asarray(use_mask)))
+        return agg.reshape(B, N_BANDS, 2, 11, 2)
 
     # ---------------- stage: audio + EEG diagrams for comparisons ----------------
 

@@ -78,3 +78,29 @@ def test_device_synth_statistics():
     assert np.isfinite(e).all() and np.abs(e[:, : int(ns[0])]).mean() > 0.1
     a = np.asarray(store.audio[0])
     assert np.abs(a).max() <= 1.0 + 1e-5
+
+
+def test_staged_feature_agg_matches_fused():
+    """The overflow-redo helper (_staged_feature_agg) must reproduce the
+    fused feature aggregates exactly — it is the fallback used when the
+    fused kernel flags a reduction overflow."""
+    ds = SynthDataset(n_subjects=2, n_per_subject=1)
+    runner = StudyRunner(ds, DEFAULT_CONFIG, eeg_batch=4, tda_chunk=64,
+                         verbose=False)
+    X, y, subjects, filenames, meta = runner.compute_feature_dataset()
+    K = meta["K"]
+    counts = {}
+    for i in range(len(ds)):
+        n_e, failed = runner._rec_length(i)
+        counts[i] = max((n_e - 250) // 62 + 1, 0)
+    from tda_eeg_audio_tpu.models.classify import features_to_row
+    # X rows follow the reference order: sorted slow dirs then fast dirs
+    slow = sorted([i for i in range(len(ds)) if ds.index[i][2] == "slow"],
+                  key=lambda i: ds.index[i][0])
+    fast = sorted([i for i in range(len(ds)) if ds.index[i][2] == "fast"],
+                  key=lambda i: ds.index[i][0])
+    row_of = {i: r for r, i in enumerate(slow + fast)}
+    target = fast[0]
+    agg = runner._staged_feature_agg([target], counts, K)
+    np.testing.assert_allclose(features_to_row(agg[0]), X[row_of[target]],
+                               rtol=1e-5, atol=1e-6)
