@@ -11,7 +11,7 @@ costs of the XLA lockstep kernel disappear here:
     chunk_count x max.
   * the coboundary scatter — XLA lowers the bitset scatter to a
     (B, n, W) broadcast-compare (~3.7M element-ops per step at n=124).
-    Here the column lives in VMEM as a (G_CAP/32, 128) uint32 bit-matrix
+    Here the column lives in VMEM as a (G_CAP/32, 128) int32 bit-matrix
     addressed [g >> 5, v] (bit g & 31), and the scatter is a dense
     compare over that same tile (~16k element-ops): a cofacet's key lands
     either in its own lane (max edge = the edge itself) or, for cross-edge
@@ -22,12 +22,15 @@ costs of the XLA lockstep kernel disappear here:
 Key space: key(triangle) = g * 128 + v with g = rank of the maximal edge,
 v = opposite vertex (the same simplexwise refinement as homology_h1; see
 that module's docstring for the pairing proof).  g is capped by the STATIC
-g_cap; windows whose in-complex edge count m_cx exceeds it overflow to the
-XLA/bitset path (enclosing-radius truncation keeps audio windows at
-m_cx ~ 2.6k of 7.6k edges, so g_cap = 4096 covers the mass).  The cap is
-also what lets the ~n_na finished columns stay resident in VMEM
-(na_max x g_cap/32 x 128 x 4 B = 6.3 MB at the audio sizes) — no HBM
+g_cap (default: the whole edge space, so no m_cx overflow is possible).
+The cap is also what lets the ~n_na finished columns stay resident in VMEM
+(na_max x g_cap/32 x 128 x 4 B = 9.8 MB at the audio sizes) — no HBM
 traffic inside the reduction loop at all.
+
+All per-window operands (rank matrix, the four rank-indexed tables, the
+creator list) are packed into ONE (rows, 128) int32 block: per-grid-step
+input latency is one DMA, not seven — measured ~70 us/window of pure DMA
+latency before the consolidation, comparable to the whole reduction loop.
 
 Everything else (edge ranks, Prim forest/H0, apparent-pair sieve, creator
 list, bar extraction) stays in XLA — `_phase1` is shared with the other
@@ -36,6 +39,13 @@ back ends, so all back ends produce bar-for-bar identical diagrams.
 No dynamic LANE indexing anywhere: every dynamic lookup is either a
 dynamic-SUBLANE slice (supported natively) or a broadcast-compare +
 reduce; dynamic per-lane writes are full-row selects.
+
+Negative result, for the record: a grouped variant (G windows per grid
+step, per-window logic unrolled inside one while_loop to amortize step
+overhead at n = 47) measured SLOWER than the batched XLA lockstep kernel
+(0.34 vs 0.29 ms/window at G=4) — the unrolled chains' reduce latencies
+serialize rather than interleave — so small-n EEG windows stay on the XLA
+kernel and this module only serves the audio-sized clouds.
 """
 
 from __future__ import annotations
@@ -54,43 +64,54 @@ LANES = 128           # v axis (opposite vertex); n <= 128 everywhere here
 ESSENTIAL = -2        # pair_key sentinel: column reduced to zero
 
 
-def _reduce_kernel(mcx_ref, rank_ref, iu_ref, ju_ref, vstar_ref, app_ref,
-                   na_ref, pair_ref, steps_ref, col, stored,
+def _reduce_kernel(mcx_ref, packed_ref, out_ref, col, stored,
                    *, g_cap: int, na_max: int, step_budget: int):
     """One window's full cohomology reduction (grid = windows).
 
     mcx_ref: (B,) scalar-prefetch — in-complex edge count per window
+    packed_ref: (1, R_TOT, LANES) int32 — [rank(128) | iu(t) | ju(t) |
+            vstar(t) | app(t) | na(1)] rows, t = g_cap/128
+    out_ref: (1, 8, LANES) int32 — row 0 = pair keys, row 1 = [steps,
+            budget-overflow, ...]
     col:    (g_cap//32, LANES) int32 VMEM scratch — working column bitset
             (int32, not uint32: Mosaic reductions don't take unsigned, and
             distinct-bit sums / two's-complement bit tricks are exact)
     stored: (na_max, g_cap//32, LANES) int32 VMEM scratch — finished columns
     """
     srows = g_cap // 32
+    t_srows = g_cap // LANES
+    OFF_IU = LANES
+    OFF_JU = OFF_IU + t_srows
+    OFF_VS = OFF_JU + t_srows
+    OFF_AP = OFF_VS + t_srows
+    OFF_NA = OFF_AP + t_srows
     m_cx = mcx_ref[pl.program_id(0)]
 
     s_iota = jax.lax.broadcasted_iota(jnp.int32, (srows, LANES), 0)
     l_iota = jax.lax.broadcasted_iota(jnp.int32, (srows, LANES), 1)
     lane1 = jax.lax.broadcasted_iota(jnp.int32, (1, LANES), 1)
-    t_srows = g_cap // LANES
     ts_iota = jax.lax.broadcasted_iota(jnp.int32, (t_srows, LANES), 0)
     tl_iota = jax.lax.broadcasted_iota(jnp.int32, (t_srows, LANES), 1)
     one = jnp.int32(1)
 
-    def tgather(ref, g):
-        """(t_srows, LANES) rank-indexed table → scalar ref[g] (compare-sum)."""
+    def tgather(off, g):
+        """rank-indexed table at packed rows [off, off+t) → scalar [g]."""
         hit = (ts_iota == g // LANES) & (tl_iota == g % LANES)
-        return jnp.sum(jnp.where(hit, ref[0], 0))
+        return jnp.sum(jnp.where(hit, packed_ref[0, off:off + t_srows, :], 0))
 
     def lgather(row, idx):
         """(1, LANES) row → scalar row[idx] (compare-sum)."""
         return jnp.sum(jnp.where(lane1 == idx, row, 0))
 
+    def na_at(idx):
+        return lgather(packed_ref[0, OFF_NA, :][None], idx)
+
     def cobd(g_e):
-        """(srows, LANES) uint32 coboundary bitset of the edge ranked g_e."""
-        i_g = tgather(iu_ref, g_e)
-        j_g = tgather(ju_ref, g_e)
-        row_i = rank_ref[0, pl.ds(i_g, 1), :]            # (1, LANES)
-        row_j = rank_ref[0, pl.ds(j_g, 1), :]
+        """(srows, LANES) int32 coboundary bitset of the edge ranked g_e."""
+        i_g = tgather(OFF_IU, g_e)
+        j_g = tgather(OFF_JU, g_e)
+        row_i = packed_ref[0, pl.ds(i_g, 1), :]          # (1, LANES)
+        row_j = packed_ref[0, pl.ds(j_g, 1), :]
         gmax = jnp.maximum(g_e, jnp.maximum(row_i, row_j))
         valid = gmax < m_cx                              # in-complex cofacets
         # case E: max edge is (i,j) itself -> key (g_e, v) in lane v
@@ -123,9 +144,9 @@ def _reduce_kernel(mcx_ref, rank_ref, iu_ref, ju_ref, vstar_ref, app_ref,
         v_min = jnp.min(jnp.where(g_lane == g_min, lane1, BIG))
         return g_min, v_min
 
-    pair_ref[0, 0, :] = jnp.full((LANES,), -1, jnp.int32)
-    steps_ref[0, 0, :] = jnp.zeros((LANES,), jnp.int32)
-    first = lgather(na_ref[0, 0, :][None], 0)
+    out_ref[0, 0, :] = jnp.full((LANES,), -1, jnp.int32)
+    out_ref[0, 1, :] = jnp.zeros((LANES,), jnp.int32)
+    first = na_at(0)
 
     @pl.when(first >= 0)
     def _():
@@ -141,9 +162,9 @@ def _reduce_kernel(mcx_ref, rank_ref, iu_ref, ju_ref, vstar_ref, app_ref,
             nonzero = g_p < BIG
             key = g_p * LANES + v_p
             g_s = jnp.where(nonzero, g_p, 0)
-            own_app = nonzero & (tgather(app_ref, g_s) != 0) \
-                & (tgather(vstar_ref, g_s) == v_p)
-            prior = pair_ref[0, 0, :][None]              # (1, LANES)
+            own_app = nonzero & (tgather(OFF_AP, g_s) != 0) \
+                & (tgather(OFF_VS, g_s) == v_p)
+            prior = out_ref[0, 0, :][None]               # (1, LANES)
             match = (prior == key) & nonzero
             own_na = jnp.any(match) & ~own_app
             slot = jnp.minimum(jnp.min(jnp.where(match, lane1, na_max)),
@@ -161,15 +182,14 @@ def _reduce_kernel(mcx_ref, rank_ref, iu_ref, ju_ref, vstar_ref, app_ref,
 
             # finish step: record pair, persist column, load next creator
             nxt_cur = jnp.where(claimed, cur, cur + 1)
-            nxt_edge = lgather(na_ref[0, 0, :][None],
-                               jnp.minimum(nxt_cur, na_max - 1))
+            nxt_edge = na_at(jnp.minimum(nxt_cur, na_max - 1))
             still = (nxt_cur < na_max) & (nxt_edge >= 0)
 
             @pl.when(~claimed)
             def _():
-                pair_ref[0, 0, :] = jnp.where(
+                out_ref[0, 0, :] = jnp.where(
                     lane1 == cur, jnp.where(nonzero, key, ESSENTIAL),
-                    pair_ref[0, 0, :][None])[0]
+                    out_ref[0, 0, :][None])[0]
 
                 @pl.when(nonzero)
                 def _():
@@ -186,7 +206,7 @@ def _reduce_kernel(mcx_ref, rank_ref, iu_ref, ju_ref, vstar_ref, app_ref,
         _, active, steps = jax.lax.while_loop(
             cond, body, (jnp.int32(0), first >= 0, jnp.int32(0)))
         # lane 0 = step count, lane 1 = budget-overflow flag
-        steps_ref[0, 0, :] = jnp.where(
+        out_ref[0, 1, :] = jnp.where(
             lane1 == 0, steps,
             jnp.where(lane1 == 1, active.astype(jnp.int32), 0))[0]
 
@@ -215,67 +235,61 @@ def h1_diagrams_pallas(dm: jnp.ndarray, n_pts: jnp.ndarray | None = None, *,
         raise ValueError("g_cap must be a multiple of 128")
     B = dm.shape[0]
     srows = g_cap // 32
+    t_srows = g_cap // LANES
     ph = _phase1(dm, n, thresh, na_max, n_pts)
     m = ph["m"]
     na_list = ph["na_list"]; ew_r = ph["ew_r"]
-
-    # kernel-ready operands (all padded to TPU tiles)
-    rank_pad = jnp.full((B, LANES, LANES), BIG, jnp.int32)
-    rank_pad = rank_pad.at[:, :n, :n].set(ph["rank_mat"])
     g_slice = min(g_cap, m)
+
+    # ---- ONE packed per-window operand block (single input DMA/step) ----
+    r_used = LANES + 4 * t_srows + 1
+    r_tot = -(-r_used // 8) * 8
+    packed = jnp.full((B, r_tot, LANES), BIG, jnp.int32)
+    packed = packed.at[:, :n, :n].set(ph["rank_mat"])
 
     def table(x, fill):
         t = jnp.full((B, g_cap), fill, jnp.int32)
         return t.at[:, :g_slice].set(
-            x[:, :g_slice].astype(jnp.int32)).reshape(
-            B, g_cap // LANES, LANES)
+            x[:, :g_slice].astype(jnp.int32)).reshape(B, t_srows, LANES)
 
-    iu_t = table(ph["iu_r"], 0)
-    ju_t = table(ph["ju_r"], 0)
-    vstar_t = table(ph["vstar_r"], -1)
-    app_t = table(ph["apparent_r"], 0)
-    na_pad = jnp.full((B, 1, LANES), -1,
-                      jnp.int32).at[:, 0, :na_max].set(na_list)
+    off = LANES
+    for x, fill in ((ph["iu_r"], 0), (ph["ju_r"], 0), (ph["vstar_r"], -1),
+                    (ph["apparent_r"], 0)):
+        packed = packed.at[:, off:off + t_srows, :].set(table(x, fill))
+        off += t_srows
+    na_row = jnp.full((B, LANES), -1, jnp.int32).at[:, :na_max].set(na_list)
+    packed = packed.at[:, off, :].set(na_row)
     mcx = ph["m_cx"].astype(jnp.int32)                    # (B,) scalar prefetch
 
     kernel = functools.partial(_reduce_kernel, g_cap=g_cap, na_max=na_max,
                                step_budget=step_budget)
 
-    def vspec(blk):
-        nd = len(blk)
-        return pl.BlockSpec(blk, lambda b, *_, nd=nd: (b,) + (0,) * (nd - 1),
-                            memory_space=pltpu.VMEM)
-
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(B,),
         in_specs=[
-            vspec((1, LANES, LANES)),
-            vspec((1, g_cap // LANES, LANES)),
-            vspec((1, g_cap // LANES, LANES)),
-            vspec((1, g_cap // LANES, LANES)),
-            vspec((1, g_cap // LANES, LANES)),
-            vspec((1, 1, LANES)),
+            pl.BlockSpec((1, r_tot, LANES), lambda b, *_: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
         ],
-        out_specs=(vspec((1, 1, LANES)), vspec((1, 1, LANES))),
+        out_specs=pl.BlockSpec((1, 8, LANES), lambda b, *_: (b, 0, 0),
+                               memory_space=pltpu.VMEM),
         scratch_shapes=[
             pltpu.VMEM((srows, LANES), jnp.int32),
             pltpu.VMEM((na_max, srows, LANES), jnp.int32),
         ],
     )
-    pair_key, stepinfo = pl.pallas_call(
+    out = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
-        out_shape=(jax.ShapeDtypeStruct((B, 1, LANES), jnp.int32),
-                   jax.ShapeDtypeStruct((B, 1, LANES), jnp.int32)),
+        out_shape=jax.ShapeDtypeStruct((B, 8, LANES), jnp.int32),
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=int((na_max + 4) * srows * LANES * 4
-                                 + 8 * LANES * LANES * 4)),
+                                 + 4 * r_tot * LANES * 4)),
         interpret=interpret,
-    )(mcx, rank_pad, iu_t, ju_t, vstar_t, app_t, na_pad)
+    )(mcx, packed)
 
-    stepinfo = stepinfo[:, 0, :]
-    pair_key = pair_key[:, 0, :na_max]
+    pair_key = out[:, 0, :na_max]
+    stepinfo = out[:, 1, :]
     # ---- bar extraction: identical to h1_diagrams ----
     na_edge = jnp.maximum(na_list, 0)
     births = jnp.take_along_axis(ew_r, na_edge, axis=-1)
@@ -305,3 +319,4 @@ def h1_diagrams_pallas(dm: jnp.ndarray, n_pts: jnp.ndarray | None = None, *,
                 h0_deaths=ph["h0_deaths"], h0_mask=ph["h0_mask"],
                 n_tree=ph["n_tree"], steps=jnp.sum(stepinfo[:, 0]),
                 n_na=jnp.sum(na_list >= 0, axis=-1).astype(jnp.int32))
+
