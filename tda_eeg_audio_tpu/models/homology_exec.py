@@ -82,6 +82,14 @@ def run_tda(dms: np.ndarray, thresh: float, backend: str = "device",
         backend = "pallas" if h1_backend_auto(n) == "pallas" else "device"
 
     if backend == "pallas":
+        import jax
+
+        if jax.default_backend() != "tpu":
+            # Mosaic kernels only compile for TPU; honor the intent with
+            # the portable kernel rather than failing obscurely
+            backend = "device"
+
+    if backend == "pallas":
         from ..ops.homology_pallas import h1_diagrams_pallas
         from .programs import PALLAS_NA_MAX
 

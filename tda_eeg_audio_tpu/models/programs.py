@@ -603,6 +603,13 @@ def audio_window_diagrams(dm: jnp.ndarray, n_pts: jnp.ndarray,
     if backend == "auto":
         backend = h1_backend_auto(n)
     if backend == "pallas":
+        import jax
+
+        if jax.default_backend() != "tpu":
+            # Mosaic kernels only compile for TPU; honor the intent with
+            # the portable kernel rather than failing obscurely
+            backend = "bitset"
+    if backend == "pallas":
         from ..ops.homology_pallas import h1_diagrams_pallas
 
         out = h1_diagrams_pallas(

@@ -294,6 +294,7 @@ def h1_diagrams(dm: jnp.ndarray, n_pts: jnp.ndarray | None = None, *, n: int,
     varange = jnp.arange(n, dtype=jnp.int32)
     ph = _phase1(dm, n, thresh, na_max, n_pts)
     m = ph["m"]
+    na_max = min(na_max, m)      # tiny clouds: m = n(n-1)/2 < na_max
     m_cx = ph["m_cx"]; ew_r = ph["ew_r"]; rank_mat = ph["rank_mat"]
     iu_r = ph["iu_r"]; ju_r = ph["ju_r"]; vstar_r = ph["vstar_r"]
     apparent_r = ph["apparent_r"]; na_list = ph["na_list"]
@@ -467,6 +468,7 @@ def h1_diagrams_sparse(dm: jnp.ndarray, n_pts: jnp.ndarray | None = None, *,
     bi = jnp.arange(B)
     varange = jnp.arange(n, dtype=jnp.int32)
     ph = _phase1(dm, n, thresh, na_max, n_pts)
+    na_max = min(na_max, ph["na_list"].shape[1])  # tiny clouds: m < na_max
     m_cx = ph["m_cx"]; ew_r = ph["ew_r"]; rank_mat = ph["rank_mat"]
     iu_r = ph["iu_r"]; ju_r = ph["ju_r"]; vstar_r = ph["vstar_r"]
     apparent_r = ph["apparent_r"]; na_list = ph["na_list"]

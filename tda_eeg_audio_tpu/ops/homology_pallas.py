@@ -239,6 +239,7 @@ def h1_diagrams_pallas(dm: jnp.ndarray, n_pts: jnp.ndarray | None = None, *,
     ph = _phase1(dm, n, thresh, na_max, n_pts)
     m = ph["m"]
     na_list = ph["na_list"]; ew_r = ph["ew_r"]
+    na_eff = na_list.shape[1]        # = min(na_max, m) — small-n safety
     g_slice = min(g_cap, m)
 
     # ---- ONE packed per-window operand block (single input DMA/step) ----
@@ -257,7 +258,7 @@ def h1_diagrams_pallas(dm: jnp.ndarray, n_pts: jnp.ndarray | None = None, *,
                     (ph["apparent_r"], 0)):
         packed = packed.at[:, off:off + t_srows, :].set(table(x, fill))
         off += t_srows
-    na_row = jnp.full((B, LANES), -1, jnp.int32).at[:, :na_max].set(na_list)
+    na_row = jnp.full((B, LANES), -1, jnp.int32).at[:, :na_eff].set(na_list)
     packed = packed.at[:, off, :].set(na_row)
     mcx = ph["m_cx"].astype(jnp.int32)                    # (B,) scalar prefetch
 
@@ -288,7 +289,7 @@ def h1_diagrams_pallas(dm: jnp.ndarray, n_pts: jnp.ndarray | None = None, *,
         interpret=interpret,
     )(mcx, packed)
 
-    pair_key = out[:, 0, :na_max]
+    pair_key = out[:, 0, :na_eff]
     stepinfo = out[:, 1, :]
     # ---- bar extraction: identical to h1_diagrams ----
     na_edge = jnp.maximum(na_list, 0)
@@ -303,10 +304,10 @@ def h1_diagrams_pallas(dm: jnp.ndarray, n_pts: jnp.ndarray | None = None, *,
     births = jnp.take_along_axis(births, order, axis=-1)
     deaths = jnp.take_along_axis(deaths, order, axis=-1)
     mask = jnp.take_along_axis(vis, order, axis=-1)
-    if h1_max > na_max:
+    if h1_max > na_eff:
         # callers size diagram buffers by h1_max; a VMEM-capped na_max
         # (e.g. 80 at n=124) still yields h1_max-wide outputs
-        pad = h1_max - na_max
+        pad = h1_max - na_eff
         births = jnp.pad(births, ((0, 0), (0, pad)))
         deaths = jnp.pad(deaths, ((0, 0), (0, pad)))
         mask = jnp.pad(mask, ((0, 0), (0, pad)))

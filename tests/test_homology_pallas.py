@@ -130,3 +130,26 @@ def test_pallas_eeg47_parity():
         ref = rips_persistence_dm(dms[i].astype(np.float64), thresh=2.0)[1]
         np.testing.assert_allclose(np.sort(_bars(a, i), 0), np.sort(ref, 0),
                                    atol=2e-5)
+
+
+def test_tiny_cloud_na_clamp_and_cpu_fallback():
+    """m = n(n-1)/2 < na_max must not break padding (regression), and
+    backend='pallas' on a non-TPU host must fall back to the portable
+    kernel instead of failing in Mosaic."""
+    from tda_eeg_audio_tpu.models.homology_exec import run_tda
+
+    rng = np.random.default_rng(0)
+    pts = rng.standard_normal((12, 3)).astype(np.float32)
+    d = np.sqrt(((pts[:, None] - pts[None, :]) ** 2).sum(-1)).astype(np.float32)
+    out = run_tda(d[None].repeat(4, 0), 2.0, backend="pallas", chunk=4)
+    ref = rips_persistence_dm(d.astype(np.float64), thresh=2.0)[1]
+    got = np.stack([out["births"][0][out["fin_mask"][0]],
+                    out["deaths"][0][out["fin_mask"][0]]], 1)
+    fin = np.isfinite(ref[:, 1])
+    np.testing.assert_allclose(np.sort(got, 0), np.sort(ref[fin], 0),
+                               atol=2e-5)
+    # the pallas wrapper itself also clamps (interpret mode, m=66 < na=80)
+    b = {k: np.array(v) for k, v in h1_diagrams_pallas(
+        jnp.asarray(d[None]), n=12, thresh=2.0, na_max=80, h1_max=96,
+        interpret=True).items()}
+    assert b["births"].shape == (1, 96)
