@@ -114,8 +114,9 @@ def main(argv=None) -> int:
                          "for audio-sized clouds on TPU, XLA bitset else)")
     ap.add_argument("--wasserstein", choices=["exact", "sinkhorn"],
                     default=None,
-                    help="exact = host JV engine (parity); sinkhorn = fused "
-                         "on-device OT (throughput)")
+                    help="sinkhorn (default) = fused on-device OT (the "
+                         "benchmarked throughput path); exact = host JV "
+                         "engine (parity, much slower)")
     ap.add_argument("--permutations", type=int, default=None)
     ap.add_argument("--bootstrap", type=int, default=None)
     ap.add_argument("--profile", default=None, metavar="DIR",
@@ -226,8 +227,9 @@ def _dispatch(args, runner, out_dir: Path) -> int:
                                     runner.cfg)
         (out_dir / "gamma_investigation.json").write_text(
             json.dumps(res, indent=2))
-        print(f"ablate: gamma-only {res['gamma_only']['accuracy_mean']:.4f} "
-              f"vs no-gamma {res['without_gamma']['accuracy_mean']:.4f}")
+        print(f"ablate: gamma-only "
+              f"{res['classifier_gamma_only']['mean_accuracy']:.4f} vs "
+              f"no-gamma {res['classifier_without_gamma']['mean_accuracy']:.4f}")
         return 0
     if args.command in ("classify", "study"):
         if args.command == "classify" and (out_dir / "X.npy").exists():

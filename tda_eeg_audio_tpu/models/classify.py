@@ -171,6 +171,16 @@ def run_classification(X: np.ndarray, y: np.ndarray, subjects: np.ndarray,
     ci_lo, ci_hi = np.percentile(boots, [2.5, 97.5])
 
     top = np.argsort(importances)[::-1][:20]
+    # significance string (reference tda_eeg_classification_v2.py:996-1004;
+    # results_summary.json "significance_level")
+    if p_value < 0.001:
+        sig_level = "*** (p < 0.001)"
+    elif p_value < 0.01:
+        sig_level = "** (p < 0.01)"
+    elif p_value < 0.05:
+        sig_level = "* (p < 0.05)"
+    else:
+        sig_level = "ns (p >= 0.05)"
     return {
         "cv_accuracy_mean": float(cv_scores.mean()),
         "cv_accuracy_std": float(cv_scores.std()),
@@ -179,6 +189,7 @@ def run_classification(X: np.ndarray, y: np.ndarray, subjects: np.ndarray,
         "roc_auc": float(auc),
         "p_value": float(p_value),
         "effect_size_cohens_d": float(effect),
+        "significance_level": sig_level,
         "ci_lower_bootstrap": float(ci_lo),
         "ci_upper_bootstrap": float(ci_hi),
         "ci_method": f"subject-level bootstrap ({n_boot} iterations)",
@@ -213,16 +224,37 @@ def run_classification(X: np.ndarray, y: np.ndarray, subjects: np.ndarray,
     }
 
 
+def _cohens_d_two_sample(a: np.ndarray, b: np.ndarray) -> float:
+    """Pooled-variance Cohen's d of (b − a) — the gamma_investigation
+    convention (mean_difference = fast_mean − slow_mean; verified against
+    /root/reference/results/gamma_investigation.json: d = 0.6633 for
+    gamma_h0_mean_death_std reproduces with (n−1)-weighted pooled std).
+    Constant features (zero pooled variance) get d = 0, matching the
+    artifact's exactly-0.0 medians."""
+    n1, n2 = len(a), len(b)
+    pooled = np.sqrt(((n1 - 1) * np.var(a) + (n2 - 1) * np.var(b))
+                     / max(n1 + n2 - 2, 1))
+    diff = b.mean() - a.mean()
+    return float(diff / pooled) if pooled > 0 else 0.0
+
+
 def run_band_ablation(X: np.ndarray, y: np.ndarray, subjects: np.ndarray,
                       feature_names: list[str],
                       cfg: PipelineConfig = DEFAULT_CONFIG,
+                      n_top_gamma: int = 3,
                       verbose: bool = True) -> dict:
-    """Per-band ablation study → gamma_investigation.json schema.
+    """Per-band ablation study → gamma_investigation.json, key-for-key.
 
-    The reference ships results/gamma_investigation.json (per-band-only,
-    gamma-only and no-gamma accuracies) without a generating script; this is
-    the missing generator: same pipeline/CV as the main classification,
-    restricted to column subsets of the 220-feature matrix.
+    The reference ships results/gamma_investigation.json WITHOUT a
+    generating script, so the artifact itself defines the contract
+    (/root/reference/results/gamma_investigation.json): `metadata`,
+    `top_gamma_features_comparison` (top RF-importance gamma features:
+    slow/fast mean±std, pooled Cohen's d, mean_difference),
+    `classifier_without_gamma` / `classifier_gamma_only` /
+    `classifier_per_band` (mean_accuracy/std_accuracy/fold_accuracies/
+    n_features — same pipeline/CV as the main classification restricted to
+    column subsets), `coefficient_of_variation_per_band` and
+    `effect_size_per_band` (per-feature distributions aggregated per band).
     """
     from sklearn.model_selection import StratifiedGroupKFold, GroupKFold, \
         cross_val_score
@@ -236,22 +268,86 @@ def run_band_ablation(X: np.ndarray, y: np.ndarray, subjects: np.ndarray,
     except Exception:
         gkf = GroupKFold(n_splits=n_splits)
     names = np.array(feature_names)
+    bands_sorted = sorted(BAND_NAMES)
+    band_cols = {b: np.where(np.char.startswith(names, b + "_"))[0]
+                 for b in bands_sorted}
+    gamma_cols = band_cols["gamma"]
+    non_gamma_cols = np.where(~np.char.startswith(names, "gamma_"))[0]
 
-    def acc(cols):
+    def clf(cols):
         pipe = make_pipeline(cfg.random_state)
         sc = cross_val_score(pipe, X[:, cols], y, groups=subjects, cv=gkf,
                              scoring="accuracy")
-        return {"accuracy_mean": float(sc.mean()), "accuracy_std": float(sc.std()),
-                "n_features": int(len(cols)), "per_fold": sc.tolist()}
+        return {"mean_accuracy": float(sc.mean()),
+                "std_accuracy": float(sc.std()),
+                "fold_accuracies": sc.tolist(),
+                "n_features": int(len(cols))}
 
-    out = {"all_features": acc(np.arange(X.shape[1]))}
-    out["gamma_only"] = acc(np.where(np.char.startswith(names, "gamma_"))[0])
-    out["without_gamma"] = acc(np.where(~np.char.startswith(names, "gamma_"))[0])
-    out["per_band_only"] = {}
-    for band in BAND_NAMES:
-        cols = np.where(np.char.startswith(names, band + "_"))[0]
-        out["per_band_only"][band] = acc(cols)
+    out: dict = {
+        "metadata": {
+            "n_samples": int(len(y)),
+            "n_features": int(X.shape[1]),
+            "n_features_gamma": int(len(gamma_cols)),
+            "n_features_non_gamma": int(len(non_gamma_cols)),
+            "label_distribution": {"slow": int(np.sum(y == 0)),
+                                   "fast": int(np.sum(y == 1))},
+            "bands": bands_sorted,
+        }
+    }
+
+    # top gamma features by full-model RF importance → per-feature slow/fast
+    # comparison (slow = label 0, fast = label 1)
+    pipe = make_pipeline(cfg.random_state)
+    pipe.fit(X, y)
+    imp = pipe.named_steps["classifier"].feature_importances_
+    g_rank = gamma_cols[np.argsort(imp[gamma_cols])[::-1][:n_top_gamma]]
+    slow, fast = X[y == 0], X[y == 1]
+    out["top_gamma_features_comparison"] = {
+        str(names[j]): {
+            "slow_mean": float(slow[:, j].mean()),
+            "slow_std": float(slow[:, j].std()),
+            "fast_mean": float(fast[:, j].mean()),
+            "fast_std": float(fast[:, j].std()),
+            "cohens_d": _cohens_d_two_sample(slow[:, j], fast[:, j]),
+            "mean_difference": float(fast[:, j].mean() - slow[:, j].mean()),
+            "slow_n": int(len(slow)),
+            "fast_n": int(len(fast)),
+        } for j in g_rank}
+
+    out["classifier_without_gamma"] = clf(non_gamma_cols)
+    out["classifier_gamma_only"] = clf(gamma_cols)
+    out["classifier_per_band"] = {}
+    for band in bands_sorted:
+        out["classifier_per_band"][band] = clf(band_cols[band])
         if verbose:
             print(f"  ablation {band}: "
-                  f"{out['per_band_only'][band]['accuracy_mean']:.4f}")
+                  f"{out['classifier_per_band'][band]['mean_accuracy']:.4f}")
+
+    # per-feature coefficient of variation (std/|mean|, zero-variance and
+    # zero-mean features excluded — the artifact's per-band minima are all
+    # strictly positive despite constant features like h0_n_essential_mean)
+    # and per-feature Cohen's d distributions, aggregated per band
+    out["coefficient_of_variation_per_band"] = {}
+    out["effect_size_per_band"] = {}
+    for band in bands_sorted:
+        cols = band_cols[band]
+        mu = X[:, cols].mean(0)
+        sd = X[:, cols].std(0)
+        keep = (sd > 0) & (np.abs(mu) > 1e-12)
+        cv = sd[keep] / np.abs(mu[keep])
+        out["coefficient_of_variation_per_band"][band] = {
+            "mean_cv": float(cv.mean()) if len(cv) else 0.0,
+            "std_cv": float(cv.std()) if len(cv) else 0.0,
+            "median_cv": float(np.median(cv)) if len(cv) else 0.0,
+            "max_cv": float(cv.max()) if len(cv) else 0.0,
+            "min_cv": float(cv.min()) if len(cv) else 0.0,
+        }
+        ds = np.array([_cohens_d_two_sample(slow[:, j], fast[:, j])
+                       for j in cols])
+        out["effect_size_per_band"][band] = {
+            "mean_abs_cohens_d": float(np.abs(ds).mean()),
+            "mean_cohens_d": float(ds.mean()),
+            "median_cohens_d": float(np.median(ds)),
+            "max_cohens_d": float(ds.max()),
+        }
     return out

@@ -23,6 +23,30 @@ from ..ops import signal as tsig
 BAND_NAMES = list(FREQ_BANDS)
 
 
+def _load_eda_batch(dataset, idxs, t_pad):
+    """(eeg (B, 47, t_pad) f32, ns_e (B,), metas) for host datasets AND the
+    HBM-resident DeviceStore (io.device_store) — the store has no per-file
+    load(); its batch() slices are already electrode-selected and padded
+    (ADVICE r2: `tda eda` on the default TPU store raised AttributeError)."""
+    if hasattr(dataset, "batch"):
+        eeg, _, ns_e, _, metas = dataset.batch(idxs)
+        eeg = np.asarray(eeg)
+        if eeg.shape[-1] > t_pad:
+            eeg = eeg[:, :, :t_pad]
+        return eeg, np.minimum(np.asarray(ns_e), t_pad), metas
+    eegs, ns_e, metas = [], [], []
+    for i in idxs:
+        rec = dataset.load(i)
+        eeg = rec["eeg_raw"][list(GOOD_ELECTRODES)]
+        e = np.zeros((len(GOOD_ELECTRODES), t_pad), np.float32)
+        n_e = min(eeg.shape[1], t_pad)
+        e[:, :n_e] = eeg[:, :n_e]
+        eegs.append(e)
+        ns_e.append(n_e)
+        metas.append(rec)
+    return np.stack(eegs), np.asarray(ns_e), metas
+
+
 def run_eda(dataset, cfg, results_dir=None, eeg_batch: int = 16,
             t_pad: int = 5800, verbose: bool = True) -> dict:
     """Full EDA pass over a dataset → eda_summary.json-shaped dict."""
@@ -39,17 +63,8 @@ def run_eda(dataset, cfg, results_dir=None, eeg_batch: int = 16,
     n = len(dataset)
     for b0 in range(0, n, eeg_batch):
         idxs = list(range(b0, min(b0 + eeg_batch, n)))
-        eegs, ns_e, metas = [], [], []
-        for i in idxs:
-            rec = dataset.load(i)
-            eeg = rec["eeg_raw"][list(GOOD_ELECTRODES)]
-            e = np.zeros((len(GOOD_ELECTRODES), t_pad), np.float32)
-            n_e = min(eeg.shape[1], t_pad)
-            e[:, :n_e] = eeg[:, :n_e]
-            eegs.append(e)
-            ns_e.append(n_e)
-            metas.append(rec)
-        x = jnp.asarray(np.stack(eegs))
+        eegs, ns_e, metas = _load_eda_batch(dataset, idxs, t_pad)
+        x = jnp.asarray(eegs)
         # Welch PSD per channel on device, then mean channel power per band.
         # Segments are masked by each recording's true length — averaging the
         # zero-padded tail would bias fast (shorter) recordings low.
@@ -59,6 +74,8 @@ def run_eda(dataset, cfg, results_dir=None, eeg_batch: int = 16,
         freqs = np.array(freqs)
         pxx = np.array(pxx)                                  # (B, C, F)
         for bi, (i, rec) in enumerate(zip(idxs, metas)):
+            if rec.get("failed"):      # store-staged corrupt files are zeroed
+                continue
             subj, cond = rec["subject"], rec["condition"]
             dur = ns_e[bi] / fs
             # channel-mean PSD accumulators + one sample waveform per
@@ -140,7 +157,10 @@ def run_eda(dataset, cfg, results_dir=None, eeg_batch: int = 16,
             wr.writerows(inventory)
         # EDA figures (reference paper/figures/eda_psd.png, eda_waveforms.png,
         # subject_distribution.png)
-        from . import figures
+        from .study import _figures_module
+        figures = _figures_module()
+        if figures is None:
+            return out
         if all(psd_n[c] for c in ("slow", "fast")):
             curves = {"freqs": freqs,
                       "slow": psd_sum["slow"] / psd_n["slow"],

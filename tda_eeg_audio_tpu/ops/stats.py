@@ -48,7 +48,6 @@ def _rankdata_avg(x, valid=None):
         axis=-1)
     idx = jnp.arange(n)
     # first index of the run each position belongs to
-    run_start = jnp.where(eq_prev, 0, idx)
     run_start = jax.lax.associative_scan(
         jnp.maximum, jnp.where(eq_prev, -1, idx), axis=-1)
     # last index of the run (scan from the right)
@@ -111,8 +110,9 @@ def wilcoxon(d: jnp.ndarray, valid: jnp.ndarray | None = None, n_max: int = 64):
             run2 = jnp.where(e, run + 1, 1)
             acc2 = jnp.where(~e & (run > 1), acc + (run ** 3 - run), acc)
             return (run2, acc2), None
-        (run, acc), _ = jax.lax.scan(step, (jnp.ones((), d.dtype), jnp.zeros((), d.dtype)),
-                                     e_dummy := eqrow.astype(bool))
+        (run, acc), _ = jax.lax.scan(step, (jnp.ones((), d.dtype),
+                                            jnp.zeros((), d.dtype)),
+                                     eqrow.astype(bool))
         acc = jnp.where(run > 1, acc + (run ** 3 - run), acc)
         return acc
     flat_eq = eq.reshape(-1, eq.shape[-1])

@@ -129,10 +129,6 @@ def rips_persistence_dm(
         edge_rank[(int(ei[k]), int(ej[k]))] = k
 
     # Enumerate triangles with diameter <= thresh, sorted by (diam, tie).
-    tri = []
-    for k in range(m):  # treat each edge as the candidate max edge? simpler: all triples
-        pass
-    iu, ju = np.triu_indices(n, k=1)
     # Vectorized triangle enumeration: for each pair (i<j), all k>j.
     tris_i, tris_j, tris_k = [], [], []
     for a in range(n - 2):

@@ -200,6 +200,46 @@ def test_corrupt_file_isolation():
     assert sum(f == bad_fn for f in fn) == fnc.count(bad_fn) - 1
 
 
+class _TruncatedDataset:
+    """Wraps a dataset; one recording is cut to 0.9 s (< one 1 s window)."""
+
+    def __init__(self, ds, short_i):
+        self.ds, self.short_i, self.index = ds, short_i, ds.index
+
+    def __len__(self):
+        return len(self.ds)
+
+    def load(self, i):
+        rec = self.ds.load(i)
+        if i == self.short_i:
+            rec = dict(rec)
+            rec["eeg_raw"] = rec["eeg_raw"][:, :225]          # 0.9 s @ 250 Hz
+            rec["audio"] = rec["audio"][: int(0.9 * 44100)]
+        return rec
+
+
+@pytest.mark.slow
+def test_zero_window_recording_dropped():
+    """A loadable recording shorter than one window must yield NO X row (the
+    reference produces an all-NaN feature row and drops it in the NaN audit,
+    tda_eeg_classification_v2.py:698-713) and be listed in metadata
+    (VERDICT r2, weak #4)."""
+    from tda_eeg_audio_tpu.io.synthetic import SynthDataset
+    from tda_eeg_audio_tpu.models.study import StudyRunner
+
+    ds = SynthDataset(n_subjects=2, n_per_subject=2)
+    short = 1
+    r = StudyRunner(_TruncatedDataset(ds, short), DEFAULT_CONFIG, eeg_batch=4,
+                    verbose=False)
+    X, y, s, fn, m = r.compute_feature_dataset()
+    short_fn = ds.index[short][0]
+    assert X.shape[0] == len(ds) - 1, "zero-window recording emitted an X row"
+    assert list(fn).count(short_fn) == \
+        sum(f == short_fn for f, _, _ in ds.index) - 1
+    assert short_fn in m["skipped_zero_window"]
+    assert not np.any(np.all(X == 0.0, axis=1)), "all-zero X row emitted"
+
+
 def test_band_ablation_runs():
     from tda_eeg_audio_tpu.models.classify import (run_band_ablation,
                                                    feature_names_220)
@@ -211,7 +251,37 @@ def test_band_ablation_runs():
     subjects = np.array([f"bb{i // 4:02d}" for i in range(n)])
     out = run_band_ablation(X, y, subjects, feature_names_220(),
                             DEFAULT_CONFIG, verbose=False)
-    assert set(out["per_band_only"]) == {"delta", "theta", "alpha", "beta",
-                                         "gamma"}
-    assert out["gamma_only"]["n_features"] == 44
-    assert out["without_gamma"]["n_features"] == 176
+    # key-for-key schema parity with the reference artifact
+    # (/root/reference/results/gamma_investigation.json)
+    assert list(out) == ["metadata", "top_gamma_features_comparison",
+                         "classifier_without_gamma", "classifier_gamma_only",
+                         "classifier_per_band",
+                         "coefficient_of_variation_per_band",
+                         "effect_size_per_band"]
+    assert out["metadata"]["bands"] == ["alpha", "beta", "delta", "gamma",
+                                        "theta"]
+    assert out["metadata"]["n_features_gamma"] == 44
+    assert set(out["classifier_per_band"]) == {"delta", "theta", "alpha",
+                                               "beta", "gamma"}
+    for sub in out["classifier_per_band"].values():
+        assert list(sub) == ["mean_accuracy", "std_accuracy",
+                             "fold_accuracies", "n_features"]
+        assert len(sub["fold_accuracies"]) == 5
+    assert out["classifier_gamma_only"]["n_features"] == 44
+    assert out["classifier_without_gamma"]["n_features"] == 176
+    top = out["top_gamma_features_comparison"]
+    assert len(top) == 3 and all(k.startswith("gamma_") for k in top)
+    for sub in top.values():
+        assert list(sub) == ["slow_mean", "slow_std", "fast_mean", "fast_std",
+                             "cohens_d", "mean_difference", "slow_n", "fast_n"]
+        # labels: slow = 0, fast = 1; X was shifted +0.5 on fast rows
+        assert abs((sub["fast_mean"] - sub["slow_mean"])
+                   - sub["mean_difference"]) < 1e-12
+    for band in out["metadata"]["bands"]:
+        assert list(out["coefficient_of_variation_per_band"][band]) == \
+            ["mean_cv", "std_cv", "median_cv", "max_cv", "min_cv"]
+        assert list(out["effect_size_per_band"][band]) == \
+            ["mean_abs_cohens_d", "mean_cohens_d", "median_cohens_d",
+             "max_cohens_d"]
+        # X = noise + 0.5 shift on fast rows → every feature's d ≈ 0.5 > 0
+        assert out["effect_size_per_band"][band]["mean_cohens_d"] > 0.2
