@@ -237,43 +237,12 @@ def _wass_h0_exact_chunked(d1, m1, d2, m2, chunk=2048):
     return jnp.concatenate(outs)
 
 
-K1_FAST = 64        # EEG-side H1 fast-path width (measured max 49 bars)
-K2_FAST = 80        # audio-side width (Pallas na cap — bars beyond go to host)
-
-
-@partial(jax.jit, static_argnames=())
-def _wass_chunk_adaptive(bb1, dd1, mm1, bb2, dd2, mm2):
-    """Sinkhorn chunk with adaptive pad width.
-
-    Study H1 diagrams carry ≤ ~50 real bars inside 96-wide pads; the
-    Sinkhorn cost scales with (K1+K2)², so the chunk normally runs on
-    (64+80)-wide slices — 1.8x less arithmetic — and falls back to the
-    full width via lax.cond only when some window actually has a bar
-    beyond the slice (exactness is never traded; the branch is traced
-    once and executed only on overflowing chunks)."""
-    from ..ops.wasserstein import build_cost_matrix, sinkhorn_cost
-
-    ovf = jnp.any(mm1[:, K1_FAST:]) | jnp.any(mm2[:, K2_FAST:])
-
-    def full():
-        return sinkhorn_cost(build_cost_matrix(bb1, dd1, mm1, bb2, dd2, mm2))
-
-    def fast():
-        return sinkhorn_cost(build_cost_matrix(
-            bb1[:, :K1_FAST], dd1[:, :K1_FAST], mm1[:, :K1_FAST],
-            bb2[:, :K2_FAST], dd2[:, :K2_FAST], mm2[:, :K2_FAST]))
-
-    return jax.lax.cond(ovf, full, fast)
-
-
-def _wass_sinkhorn_chunked(b1, d1, m1, b2, d2, m2, chunk=512,
-                           adaptive=False):
+def _wass_sinkhorn_chunked(b1, d1, m1, b2, d2, m2, chunk=512):
     """Batched persim-cost Sinkhorn over (N, K1)/(N, K2) padded diagrams.
 
     Python-chunked over device-resident arrays (async dispatches of one
     cached executable)."""
     N = b1.shape[0]
-    prog = _wass_chunk_adaptive if adaptive else _wass_chunk_program
     outs = []
     for c in range(0, N, chunk):
         end = min(c + chunk, N)
@@ -284,8 +253,83 @@ def _wass_sinkhorn_chunked(b1, d1, m1, b2, d2, m2, chunk=512,
                 blk = jnp.concatenate(
                     [blk, jnp.zeros((chunk - (end - c), v.shape[1]), v.dtype)])
             args.append(blk)
-        outs.append(prog(*args)[: end - c])
+        outs.append(_wass_chunk_program(*args)[: end - c])
     return jnp.concatenate(outs)
+
+
+W_TIERS = (16, 40, 80)    # bar-count buckets; study H1 pairs mostly ≤ 15 bars
+
+
+@jax.jit
+def _compact_rows(b, d, m):
+    """Move each diagram's valid bars to the front of its pad row (stable).
+
+    The persim cost is a function of the SET of valid bars — compaction is
+    a within-row permutation, so downstream width slicing at tier w keeps
+    every valid bar whenever the row holds ≤ w of them."""
+    ci = jnp.argsort(~m, axis=1, stable=True)
+    return (jnp.take_along_axis(b, ci, 1), jnp.take_along_axis(d, ci, 1),
+            jnp.take_along_axis(m, ci, 1))
+
+
+@jax.jit
+def _wass_chunk_tiered(bb1, dd1, mm1, bb2, dd2, mm2):
+    """Sinkhorn chunk at the narrowest pad width that holds every bar.
+
+    The Sinkhorn cost scales with (K1+K2)²; study H1 diagram pairs hold
+    ≤ ~15 real bars inside 96-wide pads, so after compaction most chunks
+    run the (16+16)² program — ~36x less arithmetic than full width.  The
+    lax.cond ladder falls back to wider tiers only when some row in the
+    chunk actually has a bar beyond the slice: exactness is never traded
+    (the pad slots are forced zero-cost pad↔pad matches, so the valid
+    sub-assignment is width-invariant — VERDICT r2 next #1 (iv))."""
+    from ..ops.wasserstein import build_cost_matrix, sinkhorn_cost
+
+    def run(w):
+        def f():
+            return sinkhorn_cost(build_cost_matrix(
+                bb1[:, :w], dd1[:, :w], mm1[:, :w],
+                bb2[:, :w], dd2[:, :w], mm2[:, :w]))
+        return f
+
+    def full():
+        return sinkhorn_cost(build_cost_matrix(bb1, dd1, mm1, bb2, dd2, mm2))
+
+    expr = full
+    for w in W_TIERS[::-1]:
+        if w >= max(mm1.shape[1], mm2.shape[1]):
+            continue
+        fits = ~(jnp.any(mm1[:, w:]) | jnp.any(mm2[:, w:]))
+        expr = (lambda ok=fits, wide=expr, narrow=run(w):
+                jax.lax.cond(ok, narrow, wide))
+    return expr()
+
+
+def _wass_sinkhorn_tiered(b1, d1, m1, b2, d2, m2, chunk=128):
+    """Size-sorted tiered Sinkhorn over (N, K) padded diagram pairs.
+
+    Pairs are sorted by bar count so each fixed-size chunk is homogeneous:
+    the few dense pairs share the wide-tier chunks and the long tail runs
+    at (16+16)² — the bar-count-bucketed fast path.  Everything (compaction,
+    sort, gather, inverse permutation) stays on device."""
+    N = b1.shape[0]
+    b1, d1, m1 = _compact_rows(b1, d1, m1)
+    b2, d2, m2 = _compact_rows(b2, d2, m2)
+    r = jnp.maximum(jnp.sum(m1, axis=1), jnp.sum(m2, axis=1))
+    order = jnp.argsort(-r)
+    arrs = [jnp.take(x, order, axis=0) for x in (b1, d1, m1, b2, d2, m2)]
+    outs = []
+    for c in range(0, N, chunk):
+        end = min(c + chunk, N)
+        blks = []
+        for v in arrs:
+            blk = v[c:end]
+            if end - c < chunk:
+                blk = jnp.concatenate(
+                    [blk, jnp.zeros((chunk - (end - c), v.shape[1]), v.dtype)])
+            blks.append(blk)
+        outs.append(_wass_chunk_tiered(*blks)[: end - c])
+    return jnp.take(jnp.concatenate(outs), jnp.argsort(order))
 
 
 @partial(jax.jit, static_argnames=("K", "n_win_max"))
@@ -435,8 +479,8 @@ def audio_h1_program(audio, n_a, cfg: PipelineConfig = DEFAULT_CONFIG,
 def comparison_program(eeg, n_e, audio, n_a, mis_h1, mis_n_win, mis_degen,
                        cfg: PipelineConfig = DEFAULT_CONFIG,
                        n_win_max: int = 90, n_rs_max: int = 5900,
-                       K: int = 15, eeg_chunk: int = 256, aud_chunk: int = 64,
-                       w_chunk: int = 512):
+                       K: int = 15, eeg_chunk: int = 256,
+                       aud_chunk: int = 64):
     """EEG↔audio comparison + matched/mismatched control for one batch.
 
     Device-resident staged pipeline: EEG → banded distance windows; own
@@ -485,19 +529,86 @@ def comparison_program(eeg, n_e, audio, n_a, mis_h1, mis_n_win, mis_degen,
     _, a0d, a0m = _h0_pack(a_out)
     w_h0 = _wass_h0_exact_chunked(e0d, e0m, a0d, a0m)
     e1 = _h1_pack(e_out)
-    w_h1 = _wass_sinkhorn_chunked(*e1, *_h1_pack(a_out), chunk=w_chunk,
-                                  adaptive=True)
-    w_mis = _wass_sinkhorn_chunked(*e1, mis_h1[0], mis_h1[1], mis_h1[2],
-                                   chunk=w_chunk, adaptive=True)
+    w_h1 = _wass_sinkhorn_tiered(*e1, *_h1_pack(a_out))
+    w_mis = _wass_sinkhorn_tiered(*e1, mis_h1[0], mis_h1[1], mis_h1[2])
 
     out = _comparison_stats_program(
         w_h0, w_h1, w_mis, e_out["features"],
         a_out["features"], kmask, aud["n_pts"] < 3, mis_degen,
         n_win_e, mis_n_win, K)
+    # per-band degenerate-Takens flag over the valid selected windows — the
+    # control driver uses it (with host-side window counts) to detect
+    # recordings whose positional pairing deviates from the reference
+    # control's compaction semantics and must be redone exactly
+    a_degen = jnp.any((aud["n_pts"] < 3) & aud["wmask"][:, None, :], axis=-1)
+    # per-RECORDING overflow (diagram pad width / step budget exceeded on
+    # any of its windows): the driver reroutes flagged recordings through
+    # the staged path, whose run_tda recomputes overflow windows on the
+    # exact host engine (never silently keeps a truncated diagram)
+    ovf_rec = (e_out["overflow"].reshape(B, -1).any(axis=1)
+               | a_out["overflow"].reshape(B, -1).any(axis=1))
     out.update(tau=aud["tau"], n_pair=jnp.minimum(n_pair, K),
-               overflow=(jnp.sum(e_out["overflow"])
-                         + jnp.sum(a_out["overflow"])))
+               a_degen=a_degen, overflow=ovf_rec)
     return out
+
+
+# ─────────────────────────────────────────────────────────────────────────────
+# Output packing — one host readback per stage, not one per output leaf
+# ─────────────────────────────────────────────────────────────────────────────
+# On this deployment a host↔device transfer costs ~40 ms of round-trip
+# latency regardless of size; reading the comparison program's 8 output
+# leaves per batch serially costs ~0.3 s × 90 batches ≈ 30 s of pure
+# latency.  Each batch's outputs are therefore packed into ONE flat f32
+# vector on device; the driver concatenates the per-batch vectors on device
+# and reads the whole stage back in a single transfer.
+
+_CMP_FIELDS = (("w_h0", N_BANDS), ("w_h1", N_BANDS), ("w_h1_mis", N_BANDS),
+               ("corr_r", N_BANDS * 5), ("corr_p", N_BANDS * 5),
+               ("tau", N_BANDS), ("n_pair", 1), ("a_degen", N_BANDS),
+               ("overflow", 1))
+
+
+@jax.jit
+def pack_comparison_outputs(out):
+    """comparison_program output dict → (B·77,) f32 vector (int/bool fields
+    are exact in f32 at study magnitudes: τ ≤ 125, n_pair ≤ 15)."""
+    parts = [jnp.ravel(out[k]).astype(jnp.float32) for k, _ in _CMP_FIELDS]
+    return jnp.concatenate(parts)
+
+
+def unpack_comparison_outputs(flat: np.ndarray, B: int) -> dict:
+    """Host-side inverse of pack_comparison_outputs for one batch."""
+    out = {}
+    off = 0
+    for k, width in _CMP_FIELDS:
+        n = B * width
+        v = flat[off:off + n]
+        out[k] = v.reshape(B, width) if width > 1 else v
+        off += n
+    out["corr_r"] = out["corr_r"].reshape(B, N_BANDS, 5)
+    out["corr_p"] = out["corr_p"].reshape(B, N_BANDS, 5)
+    out["a_degen"] = out["a_degen"] > 0.5
+    out["overflow"] = out["overflow"] > 0.5
+    return out
+
+
+@jax.jit
+def pack_feature_outputs(agg, dm0, ovf):
+    """eeg_feature_program outputs → one flat f32 vector per batch."""
+    return jnp.concatenate([jnp.ravel(agg).astype(jnp.float32),
+                            jnp.ravel(dm0).astype(jnp.float32),
+                            jnp.ravel(ovf).astype(jnp.float32)])
+
+
+def unpack_feature_outputs(flat: np.ndarray, B: int, n: int = 47):
+    """(agg (B,5,2,11,2), dm0 (B,5,n,n), ovf (B,) bool) from the packed
+    vector."""
+    n_agg = B * N_BANDS * 2 * 11 * 2
+    n_dm = B * N_BANDS * n * n
+    agg = flat[:n_agg].reshape(B, N_BANDS, 2, 11, 2)
+    dm0 = flat[n_agg:n_agg + n_dm].reshape(B, N_BANDS, n, n)
+    ovf = flat[n_agg + n_dm:n_agg + n_dm + B] > 0.5
+    return agg, dm0, ovf
 
 
 # ─────────────────────────────────────────────────────────────────────────────

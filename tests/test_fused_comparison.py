@@ -95,7 +95,7 @@ def test_comparison_program_tiny_e2e():
         jnp.asarray(eeg), jnp.asarray(n_e), jnp.asarray(audio),
         jnp.asarray(n_a), (mo["h1_b"], mo["h1_d"], mo["h1_m"]),
         mo["n_win"], mo["degen"], cfg,
-        n_win_max, n_rs_max, K, eeg_chunk=16, aud_chunk=16, w_chunk=64)
+        n_win_max, n_rs_max, K, eeg_chunk=16, aud_chunk=16)
     out = {k: np.asarray(v) for k, v in out.items()}
     assert out["w_h0"].shape == (B, 5) and out["w_h1"].shape == (B, 5)
     assert np.all(np.isfinite(out["w_h0"])) and np.all(out["w_h0"] > 0)
@@ -104,7 +104,7 @@ def test_comparison_program_tiny_e2e():
     assert np.all(out["tau"] >= 1)
     assert np.all(np.abs(out["corr_r"]) <= 1.0)
     assert np.all((out["corr_p"] >= 0) & (out["corr_p"] <= 1))
-    assert not out["overflow"]
+    assert not out["overflow"].any()
 
 
 def test_comparison_stats_degenerate_windows_excluded():
@@ -142,6 +142,78 @@ def test_comparison_stats_degenerate_windows_excluded():
     assert not np.allclose(np.array(out_d["corr_r"]), np.array(out_f["corr_r"]))
 
 
+class _TruncAudioDS:
+    """Wraps a dataset; one recording's audio loses exactly one window's
+    worth of samples, so its EEG/audio window counts differ."""
+
+    def __init__(self, ds, i):
+        self.ds, self.i, self.index = ds, i, ds.index
+
+    def __len__(self):
+        return len(self.ds)
+
+    def load(self, i):
+        rec = self.ds.load(i)
+        if i == self.i:
+            rec = dict(rec)
+            # one 62-sample (250 Hz) step = ceil(62·882/5) = 10937 @ 44.1 kHz
+            rec["audio"] = rec["audio"][:-10937]
+        return rec
+
+
+@slow
+def test_control_fused_matches_exact_e2e():
+    """Fused control (non-deviant fast path + deviant exact redo) must match
+    the staged exact per-side pairing within Sinkhorn tolerance — including
+    a recording whose EEG/audio window counts differ (VERDICT r2 missing #4)."""
+    from collections import defaultdict
+
+    from tda_eeg_audio_tpu.io.synthetic import SynthDataset
+    from tda_eeg_audio_tpu.models.study import StudyRunner
+
+    ds = _TruncAudioDS(SynthDataset(n_subjects=2, n_per_subject=2), 0)
+    by_subj = defaultdict(lambda: defaultdict(list))
+    for i, (fn, subj, cond) in enumerate(ds.index):
+        by_subj[subj][cond].append(i)
+    for subj in by_subj:
+        for cond in by_subj[subj]:
+            by_subj[subj][cond].sort(key=lambda i: ds.index[i][0])
+    common = sorted(s for s in by_subj
+                    if by_subj[s]["slow"] and by_subj[s]["fast"])
+    mis_idx = {}
+    for s in common:
+        mis_idx[(s, "slow")] = by_subj[s]["fast"][0]
+        mis_idx[(s, "fast")] = by_subj[s]["slow"][0]
+    all_idx = [i for s in common for c in ("slow", "fast")
+               for i in by_subj[s][c]]
+
+    cfg_f = dataclasses.replace(DEFAULT_CONFIG, wasserstein_backend="sinkhorn")
+    fused = StudyRunner(ds, cfg_f, eeg_batch=4, tda_chunk=64, verbose=False)
+    rows_f = fused._control_rows_fused(all_idx, mis_idx)
+
+    cfg_s = dataclasses.replace(DEFAULT_CONFIG,
+                                wasserstein_backend="host_exact")
+    staged = StudyRunner(ds, cfg_s, eeg_batch=4, tda_chunk=64, verbose=False)
+    cache = staged._mismatch_own_cache(sorted(set(mis_idx.values())))
+    rows_e = staged._control_rows_exact(all_idx, mis_idx, cache)
+
+    fmap = {(r["filename"], r["condition"], r["band"]): r for r in rows_f}
+    assert len(rows_f) == len(rows_e) > 0
+    trunc_fn, _, trunc_cond = ds.index[0]
+    n_trunc = 0
+    for e in rows_e:
+        f = fmap[(e["filename"], e["condition"], e["band"])]
+        for key in ("w_matched", "w_mismatched"):
+            if np.isnan(e[key]):
+                assert np.isnan(f[key])
+            else:
+                np.testing.assert_allclose(f[key], e[key], rtol=2e-3,
+                                           err_msg=str((key, e)))
+        if e["filename"] == trunc_fn and e["condition"] == trunc_cond:
+            n_trunc += 1
+    assert n_trunc == 5, "truncated recording missing from control rows"
+
+
 @slow
 def test_fused_rows_match_staged():
     from tda_eeg_audio_tpu.io.synthetic import SynthDataset
@@ -153,7 +225,9 @@ def test_fused_rows_match_staged():
     rows_f = {(r["filename"], r["condition"], r["band"]): r
               for r in fused._fused_rows()}
 
-    staged = StudyRunner(ds, DEFAULT_CONFIG, eeg_batch=4, tda_chunk=64,
+    cfg_s = dataclasses.replace(DEFAULT_CONFIG,
+                                wasserstein_backend="host_exact")
+    staged = StudyRunner(ds, cfg_s, eeg_batch=4, tda_chunk=64,
                          verbose=False)
     out = staged.run_comparison(n_permutations=10)
     for r in out["detailed_rows"]:

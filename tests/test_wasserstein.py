@@ -177,6 +177,49 @@ def test_sinkhorn_batch_accuracy_vs_native():
     assert rel.max() < 1e-2, rel.max()
 
 
+def test_tiered_sinkhorn_matches_exact_and_full_width():
+    """The size-sorted tiered Sinkhorn (models.programs._wass_sinkhorn_tiered)
+    must agree with the exact JV engine on a mixed batch — sparse pairs that
+    hit the (16+16)² tier, mid-size pairs, dense pairs on the full width,
+    empty sides, and bars scattered at arbitrary pad positions (compaction
+    correctness)."""
+    from tda_eeg_audio_tpu.models.programs import _wass_sinkhorn_tiered
+    from tda_eeg_audio_tpu.native.engine import wasserstein_batch
+
+    rng = np.random.default_rng(7)
+    N, K = 48, 96
+
+    def mk(counts):
+        b = np.zeros((N, K), np.float32)
+        d = np.zeros((N, K), np.float32)
+        m = np.zeros((N, K), bool)
+        for i, c in enumerate(counts):
+            pos = rng.choice(K, size=c, replace=False)   # scattered bars
+            bb = rng.uniform(0.3, 1.5, c).astype(np.float32)
+            m[i, pos] = True
+            b[i, pos] = bb
+            d[i, pos] = bb + rng.exponential(0.15, c).astype(np.float32)
+        return b, d, m
+
+    # mixed profile: mostly sparse (≤ 15), some mid, some dense, two empty
+    counts1 = np.concatenate([rng.integers(1, 15, 40),
+                              rng.integers(20, 38, 4),
+                              rng.integers(60, 90, 2), [0, 0]])
+    counts2 = np.concatenate([rng.integers(1, 15, 40),
+                              rng.integers(20, 38, 4),
+                              rng.integers(60, 90, 2), [3, 0]])
+    b1, d1, m1 = mk(counts1)
+    b2, d2, m2 = mk(counts2)
+    exact = wasserstein_batch(b1, d1, m1, b2, d2, m2)
+    tiered = np.array(_wass_sinkhorn_tiered(
+        *(jnp.asarray(x) for x in (b1, d1, m1, b2, d2, m2)), chunk=16))
+    rel = np.abs(tiered - exact) / np.maximum(np.abs(exact), 1e-9)
+    ok = exact > 1e-9
+    assert np.median(rel[ok]) < 1e-3, np.median(rel[ok])
+    assert rel[ok].max() < 1e-2, rel[ok].max()
+    assert tiered[~ok].max() < 1e-6   # empty-vs-empty → 0
+
+
 def test_sinkhorn_empty_side_sentinel():
     """An empty diagram must cost sum((d-b)/2) of the other side (the
     reference's [[0,0]] sentinel, utils.py:186-187) — regression for the
