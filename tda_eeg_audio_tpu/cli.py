@@ -79,7 +79,8 @@ def _build_runner(args):
         ds = store
     return StudyRunner(ds, cfg, eeg_batch=args.batch,
                        tda_chunk=args.chunk, results_dir=args.results,
-                       backend=args.backend)
+                       backend=args.backend,
+                       mesh=("auto" if args.mesh == "auto" else None))
 
 
 def main(argv=None) -> int:
@@ -108,6 +109,9 @@ def main(argv=None) -> int:
                     help="coordinator address host:port for multi-host runs")
     ap.add_argument("--num-processes", type=int, default=None)
     ap.add_argument("--process-id", type=int, default=None)
+    ap.add_argument("--mesh", choices=["auto", "off"], default="auto",
+                    help="auto (default): dp-shard the fused study programs "
+                         "over all local TPU chips; off = one device")
     ap.add_argument("--backend", choices=["auto", "device", "pallas", "host"],
                     default=None,
                     help="homology backend (default: auto — Pallas kernel "

@@ -125,8 +125,10 @@ def eeg_feature_program(eeg: jnp.ndarray, n_samples: jnp.ndarray,
 
     use_idx/use_mask: (B, 5, K) selected window indices per band (the
     reference's md5-seeded subsample, computed on host from window counts).
-    Homology runs over (B·5·K) windows in lax.map chunks to bound the
-    reduction workspace.
+    Homology runs in lax.map chunks to bound the reduction workspace; the
+    chunk axis is the WINDOW axis with the batch axis preserved, so a
+    dp-sharded batch (multi-chip, SURVEY §2.3) stays local to its devices
+    through every chunk — no GSPMD resharding.
     """
     B = eeg.shape[0]
     wins, wmask = _banded_windows(eeg, n_samples, cfg, n_win_max)
@@ -136,28 +138,35 @@ def eeg_feature_program(eeg: jnp.ndarray, n_samples: jnp.ndarray,
     corr = tgeo.correlation_matrix(sel)
     dist = tgeo.correlation_to_distance(corr, cfg.distance_method)
     n = dist.shape[-1]
-    flat = dist.reshape(B * N_BANDS * K, n, n)
-    total = flat.shape[0]
-    n_chunks = -(-total // chunk)
-    pad = n_chunks * chunk - total
-    if pad:
+    M = N_BANDS * K
+    chunk_m = max(min(chunk, B * M) // B, 1)
+    n_chunks = -(-M // chunk_m)
+    pad_m = n_chunks * chunk_m - M
+    dist4 = dist.reshape(B, M, n, n)
+    if pad_m:
         # pad windows = empty complexes (all edges > thresh) → zero work
         far = (1.0 - jnp.eye(n)) * (cfg.max_edge_length + 1.0)
-        flat = jnp.concatenate(
-            [flat, jnp.broadcast_to(far, (pad, n, n))], axis=0)
+        dist4 = jnp.concatenate(
+            [dist4, jnp.broadcast_to(far, (B, pad_m, n, n))], axis=1)
 
-    def do_chunk(dm):
-        f, out = window_tda_features(dm, thresh=cfg.max_edge_length,
+    def do_chunk(dm):                                     # (B, chunk_m, n, n)
+        f, out = window_tda_features(dm.reshape(B * chunk_m, n, n),
+                                     thresh=cfg.max_edge_length,
                                      na_max=na_max, h1_max=na_max,
                                      step_budget=step_budget)
-        return f, out["overflow"]
+        return (f.reshape(B, chunk_m, 2, 11),
+                out["overflow"].reshape(B, chunk_m))
 
-    feats, ovf = jax.lax.map(do_chunk, flat.reshape(n_chunks, chunk, n, n))
-    feats = feats.reshape(-1, 2, 11)[:total].reshape(B, N_BANDS, K, 22)
+    stacked = jnp.moveaxis(
+        dist4.reshape(B, n_chunks, chunk_m, n, n), 1, 0)
+    feats, ovf = jax.lax.map(do_chunk, stacked)
+    feats = jnp.moveaxis(feats, 0, 1).reshape(B, n_chunks * chunk_m, 2, 11)
+    feats = feats[:, :M].reshape(B, N_BANDS, K, 22)
     # per-recording overflow (na_max/step-budget exceeded on any used
     # window): the caller reroutes those recordings through the staged
     # path's host fallback instead of silently keeping a truncated diagram
-    ovf = (ovf.reshape(-1)[:total].reshape(B, N_BANDS, K)
+    ovf = jnp.moveaxis(ovf, 0, 1).reshape(B, n_chunks * chunk_m)[:, :M]
+    ovf = (ovf.reshape(B, N_BANDS, K)
            & use_mask.reshape(B, N_BANDS, K)).any(axis=(1, 2))
     agg = aggregate_mean_std(feats, use_mask.reshape(B, N_BANDS, K))
     agg = agg.reshape(B, N_BANDS, 2, 11, 2)
@@ -337,7 +346,10 @@ def _pair_select_program(dist, aud_use_idx, aud_n_win, K: int, n_win_max: int):
     """Select the EEG windows at the AUDIO program's index set — one shared
     linspace over n_pair = min(eeg, audio) windows for both sides (reference
     tda_eeg_audio_comparison.py:72-80; the audio program was called with
-    n_win_cap = the EEG window count, so its n_win is already n_pair)."""
+    n_win_cap = the EEG window count, so its n_win is already n_pair).
+
+    Returns the selection batch-first (B, 5·K, n, n) so a dp-sharded batch
+    axis survives downstream chunking."""
     B = dist.shape[0]
     n_pair = aud_n_win.astype(jnp.int32)
     use_idx = jnp.clip(aud_use_idx, 0, n_win_max - 1)
@@ -346,7 +358,7 @@ def _pair_select_program(dist, aud_use_idx, aud_n_win, K: int, n_win_max: int):
     n = dist.shape[-1]
     sel_dm = jnp.take_along_axis(
         dist, use_idx[:, None, :, None, None], axis=2)            # (B,5,K,n,n)
-    return sel_dm.reshape(B * N_BANDS * K, n, n), kmask, n_pair
+    return sel_dm.reshape(B, N_BANDS * K, n, n), kmask, n_pair
 
 
 def _h0_pack(out):
@@ -418,36 +430,54 @@ def _comparison_stats_program(w_h0, w_h1, w_h1_mis, e_feats, a_feats,
 @partial(jax.jit, static_argnames=("thresh", "na_max", "h1_max", "step_budget"))
 def _diagram_chunk_program(dm, n_pts, thresh: float, na_max: int,
                            h1_max: int, step_budget: int):
-    return audio_window_diagrams(dm, n_pts, thresh=thresh, na_max=na_max,
-                                 h1_max=h1_max, step_budget=step_budget)
+    """(B, m, n, n) batch-first chunk → audio_window_diagrams outputs
+    reshaped back to (B, m, ...)."""
+    B, m = dm.shape[:2]
+    out = audio_window_diagrams(dm.reshape(B * m, *dm.shape[2:]),
+                                n_pts.reshape(B * m), thresh=thresh,
+                                na_max=na_max, h1_max=h1_max,
+                                step_budget=step_budget)
+    return {k: v.reshape(B, m, *v.shape[1:]) for k, v in out.items()}
 
 
 def _diagrams_chunked_host(dm, n_pts, thresh, chunk, na_max, step_budget):
     """Python-chunked diagram computation over DEVICE-RESIDENT arrays.
 
-    Each chunk is one async dispatch of a small cached executable; outputs
-    stay on device (no host round trips).  Chosen over a single lax.map
-    mega-program because hour-long monolithic compiles crashed the remote
-    TPU worker — per-chunk executables compile in minutes and cache
-    individually."""
-    total = dm.shape[0]
+    dm: (B, M, n, n) batch-first; n_pts: (B, M).  Each chunk slices the
+    WINDOW axis (the batch axis is preserved end-to-end), so a dp-sharded
+    batch stays local to its devices — the multi-chip path runs these
+    chunks without any GSPMD resharding.  `chunk` counts windows·batch:
+    chunk_m = chunk // B windows per dispatch, matching the single-device
+    workspace bound.  Each chunk is one async dispatch of a small cached
+    executable; outputs stay on device (no host round trips).  Chosen over
+    a single lax.map mega-program because hour-long monolithic compiles
+    crashed the remote TPU worker — per-chunk executables compile in
+    minutes and cache individually.
+
+    Returns flat (B·M, ...) arrays (window-major within recording).
+    """
+    B, M = dm.shape[:2]
     n = dm.shape[-1]
+    chunk_m = max(chunk // B, 1)
     outs = []
-    for c in range(0, total, chunk):
-        end = min(c + chunk, total)
-        blk = jax.lax.dynamic_slice_in_dim(dm, c, end - c, 0) \
-            if end - c == chunk else dm[c:end]
-        npts = n_pts[c:end]
-        if end - c < chunk:
-            pad = chunk - (end - c)
+    for c in range(0, M, chunk_m):
+        end = min(c + chunk_m, M)
+        blk = dm[:, c:end]
+        npts = n_pts[:, c:end].astype(jnp.int32)
+        if end - c < chunk_m:
+            pad = chunk_m - (end - c)
             far = (1.0 - jnp.eye(n)) * (thresh + 1.0)
             blk = jnp.concatenate(
-                [blk, jnp.broadcast_to(far, (pad, n, n)).astype(blk.dtype)])
-            npts = jnp.concatenate([npts, jnp.full((pad,), n, jnp.int32)])
+                [blk, jnp.broadcast_to(far, (B, pad, n, n)).astype(blk.dtype)],
+                axis=1)
+            npts = jnp.concatenate(
+                [npts, jnp.full((B, pad), n, jnp.int32)], axis=1)
         outs.append(_diagram_chunk_program(blk, npts, thresh=thresh,
                                            na_max=na_max, h1_max=na_max,
                                            step_budget=step_budget))
-    return {k: jnp.concatenate([o[k] for o in outs])[:total] for k in outs[0]}
+    cat = {k: jnp.concatenate([o[k] for o in outs], axis=1)[:, :M]
+           for k in outs[0]}
+    return {k: v.reshape(B * M, *v.shape[2:]) for k, v in cat.items()}
 
 
 def audio_h1_program(audio, n_a, cfg: PipelineConfig = DEFAULT_CONFIG,
@@ -467,9 +497,10 @@ def audio_h1_program(audio, n_a, cfg: PipelineConfig = DEFAULT_CONFIG,
     aud = audio_takens_program(audio, n_a, cfg, n_rs_max, n_win_max, K,
                                n_win_cap=n_win_cap)
     P = cfg.max_takens_points
+    B = audio.shape[0]
     out = _diagrams_chunked_host(
-        aud["dm"].reshape(-1, P, P),
-        aud["n_pts"].reshape(-1).astype(jnp.int32),
+        aud["dm"].reshape(B, N_BANDS * K, P, P),
+        aud["n_pts"].reshape(B, N_BANDS * K),
         cfg.max_edge_length, aud_chunk, 96, 8192)
     b, d, m = _h1_pack(out)
     return dict(h1_b=b, h1_d=d, h1_m=m, n_win=aud["n_win"],
@@ -509,20 +540,20 @@ def comparison_program(eeg, n_e, audio, n_a, mis_h1, mis_n_win, mis_degen,
     aud = audio_takens_program(audio, n_a, cfg, n_rs_max, n_win_max, K,
                                n_win_cap=n_win_e)
 
-    flat_e, kmask, n_pair = _pair_select_program(
+    sel_e, kmask, n_pair = _pair_select_program(
         dist, aud["use_idx"], aud["n_win"], K, n_win_max)
-    n = flat_e.shape[-1]
+    n = sel_e.shape[-1]
     # EEG H1 diagrams: na_max 96 (measured ≤ 49 visible bars on study
     # windows; overflow still flags) — the smaller pad width shrinks the
     # Sinkhorn cost matrices below by ~1.4x
     e_out = _diagrams_chunked_host(
-        flat_e, jnp.full((flat_e.shape[0],), n, jnp.int32),
+        sel_e, jnp.full(sel_e.shape[:2], n, jnp.int32),
         cfg.max_edge_length, eeg_chunk, 96, 4096)
 
     P = cfg.max_takens_points
     a_out = _diagrams_chunked_host(
-        aud["dm"].reshape(-1, P, P),
-        aud["n_pts"].reshape(-1).astype(jnp.int32),
+        aud["dm"].reshape(B, N_BANDS * K, P, P),
+        aud["n_pts"].reshape(B, N_BANDS * K),
         cfg.max_edge_length, aud_chunk, 96, 8192)
 
     _, e0d, e0m = _h0_pack(e_out)

@@ -72,7 +72,7 @@ class StudyRunner:
     def __init__(self, dataset, cfg: PipelineConfig = DEFAULT_CONFIG,
                  eeg_batch: int = 16, tda_chunk: int = 256,
                  results_dir: str | Path | None = None, verbose: bool = True,
-                 backend: str | None = None):
+                 backend: str | None = None, mesh="auto"):
         self.ds = dataset
         self.cfg = cfg
         self.eeg_batch = eeg_batch
@@ -85,6 +85,26 @@ class StudyRunner:
         # device-class backends take the fused single-call programs;
         # "auto"/"pallas" differ from "device" only in the audio-H1 kernel
         self.on_device = backend in ("auto", "device", "pallas")
+        # multi-chip: the PRODUCTION feature + comparison programs run
+        # dp-sharded over this mesh (GSPMD over the recording batch axis —
+        # SURVEY §2.3; batch-first chunking inside the programs keeps every
+        # shard's windows local, no collectives beyond the output gather).
+        # mesh="auto" builds a 1-D ("dp",) mesh when several real TPU chips
+        # are visible; tests pass an explicit virtual-CPU mesh; None = off.
+        if mesh == "auto":
+            mesh = None
+            if self.on_device:
+                devs = jax.devices()
+                if len(devs) > 1 and devs[0].platform == "tpu":
+                    from jax.sharding import Mesh
+                    mesh = Mesh(np.array(devs), ("dp",))
+        self.mesh = mesh
+        if self.mesh is not None:
+            dp = self.mesh.shape["dp"]
+            self.eeg_batch = -(-self.eeg_batch // dp) * dp
+            if verbose:
+                print(f"mesh: dp={dp} over {self.mesh.devices.ravel()!r}; "
+                      f"eeg_batch={self.eeg_batch}")
         self.failed_files: list[tuple[str, str]] = []
         self._failed_idx: set[int] = set()
         # HBM-resident ingest (io.device_store.DeviceStore): every stage
@@ -99,6 +119,17 @@ class StudyRunner:
                                               m.get("error", "load failed")))
 
     # ---------------- data staging ----------------
+
+    def _put(self, a):
+        """Batch-dim array → device.  Under a mesh: dp-shard the leading
+        (recording/flat-window) axis so the fused programs partition over
+        chips; single-device otherwise."""
+        a = jnp.asarray(a)
+        if self.mesh is None:
+            return a
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        spec = P("dp", *([None] * (a.ndim - 1)))
+        return jax.device_put(a, NamedSharding(self.mesh, spec))
 
     def _safe_load(self, i: int) -> dict:
         """Per-file failure isolation: corrupt recordings are zeroed out,
@@ -368,8 +399,8 @@ class StudyRunner:
                     use_mask = np.concatenate(
                         [use_mask, np.zeros((padn, N_BANDS, K), bool)])
                 agg_dev, dm0_dev, ovf_dev = programs.eeg_feature_program(
-                    jnp.asarray(eeg), jnp.asarray(ns_e),
-                    jnp.asarray(use_idx), jnp.asarray(use_mask),
+                    self._put(eeg), self._put(ns_e),
+                    self._put(use_idx), self._put(use_mask),
                     cfg, N_WIN_MAX, K, chunk=self.tda_chunk, return_dm0=True)
                 pending.append((programs.pack_feature_outputs(
                     agg_dev, dm0_dev, ovf_dev), idxs))
@@ -773,7 +804,7 @@ class StudyRunner:
                 idxs, pad_to=self.eeg_batch)
             B = len(idxs)
             out = programs.audio_h1_program(
-                jnp.asarray(audio), jnp.asarray(ns_a), self.cfg,
+                self._put(audio), self._put(ns_a), self.cfg,
                 N_RS_MAX, N_WIN_MAX, K_CMP, aud_chunk=aud_chunk)
             WB = N_BANDS * K_CMP
             h1_b = np.asarray(out["h1_b"]).reshape(self.eeg_batch, WB, -1)
@@ -838,12 +869,12 @@ class StudyRunner:
                     mis_n_win[bi_] = c["n_win"]
                     mis_degen[bi_] = c["degen"]
             out = programs.comparison_program(
-                jnp.asarray(eeg), jnp.asarray(ns_e), jnp.asarray(audio),
-                jnp.asarray(ns_a),
-                (jnp.asarray(mis_b.reshape(Bp * WB, H_MIS)),
-                 jnp.asarray(mis_d.reshape(Bp * WB, H_MIS)),
-                 jnp.asarray(mis_m.reshape(Bp * WB, H_MIS))),
-                jnp.asarray(mis_n_win), jnp.asarray(mis_degen),
+                self._put(eeg), self._put(ns_e), self._put(audio),
+                self._put(ns_a),
+                (self._put(mis_b.reshape(Bp * WB, H_MIS)),
+                 self._put(mis_d.reshape(Bp * WB, H_MIS)),
+                 self._put(mis_m.reshape(Bp * WB, H_MIS))),
+                self._put(mis_n_win), self._put(mis_degen),
                 cfg, N_WIN_MAX, N_RS_MAX, K_CMP,
                 eeg_chunk=min(self.tda_chunk, 256),
                 aud_chunk=aud_chunk)

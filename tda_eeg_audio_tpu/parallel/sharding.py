@@ -15,6 +15,15 @@ expressed as a `jax.sharding.Mesh` SPMD program:
 
 The reference's BATCH_START/BATCH_END + partial-merge contract becomes the
 deterministic shard layout of this mesh; "merge" is the all_gather.
+
+PRODUCTION multi-chip runs through `StudyRunner(..., mesh=...)` (auto-built
+on multi-chip TPU hosts): the fused feature and comparison programs
+(models.programs) are GSPMD-partitioned over the recording batch axis via
+`shard_batch` — their batch-first window chunking keeps every shard's work
+local, so the only communication is the packed-output gather.  The
+shard_map `sharded_feature_step` below demonstrates the orthogonal
+window-axis ("wp") split for long recordings (SURVEY §2.3 sequence-parallel
+analogue).
 """
 
 from __future__ import annotations
@@ -42,14 +51,33 @@ def make_mesh(n_devices: int | None = None, dp: int | None = None,
     return Mesh(devs.reshape(dp, wp), ("dp", "wp"))
 
 
+def shard_batch(mesh: Mesh, *arrays):
+    """dp-shard each array's leading (recording / flat-window) axis.
+
+    This is how the production fused programs go multi-chip: place the
+    batch inputs with a ("dp", None, …) NamedSharding and let GSPMD
+    partition the already-batch-parallel program (StudyRunner._put uses
+    the same placement)."""
+    from jax.sharding import NamedSharding
+
+    out = []
+    for a in arrays:
+        a = jnp.asarray(a)
+        out.append(jax.device_put(
+            a, NamedSharding(mesh, P("dp", *([None] * (a.ndim - 1))))))
+    return out
+
+
 def sharded_feature_step(mesh: Mesh, cfg: PipelineConfig = DEFAULT_CONFIG,
                          n_win_max: int = 24, tda_chunk: int = 32):
-    """Full study step sharded over (dp recordings × wp windows).
+    """Window-axis ("wp") sharded study step (dp recordings × wp windows).
 
-    Returns a jitted fn (eeg (B, 47, T), n_samples (B,), use_mask (B, 5, W))
-    → per-recording feature rows (B, 5, 2, 11, 2), with windows computed
-    redundantly per wp shard on the cheap filter stage and the expensive TDA
-    stage split over "wp", then all_gathered.
+    Returns a jitted fn (eeg (B, 47, T), n_samples (B,), use_idx (B, 5, K),
+    use_mask (B, 5, K)) → per-recording feature rows (B, 5, 2, 11, 2).  The
+    expensive TDA stage splits each recording's windows over "wp"; features
+    are all_gathered, then the md5-seeded K-window subsample (use_idx —
+    reference tda_eeg_classification_v2.py:394-400) selects AFTER the
+    gather, so window sampling is shard-layout invariant.
     """
     from ..models.programs import eeg_distance_program, window_tda_features
     from ..ops.features import aggregate_mean_std
@@ -58,7 +86,7 @@ def sharded_feature_step(mesh: Mesh, cfg: PipelineConfig = DEFAULT_CONFIG,
     assert n_win_max % wp_size == 0, "n_win_max must divide the wp axis"
     w_local = n_win_max // wp_size
 
-    def step(eeg, n_samples, use_mask):
+    def step(eeg, n_samples, use_idx, use_mask):
         # local shapes: eeg (B/dp, 47, T) — replicated over wp
         dist, _, wmask = eeg_distance_program(eeg, n_samples, cfg, n_win_max)
         B, nb, W, n, _ = dist.shape
@@ -78,13 +106,16 @@ def sharded_feature_step(mesh: Mesh, cfg: PipelineConfig = DEFAULT_CONFIG,
         f = f.reshape(B, nb, w_local, 22)
         # gather the window axis back from the wp shards (ICI all_gather)
         f_all = jax.lax.all_gather(f, "wp", axis=2, tiled=True)  # (B, nb, W, 22)
-        use = use_mask & wmask[:, None, :]
-        agg = aggregate_mean_std(f_all, use)                     # (B, nb, 22, 2)
+        sel = jnp.take_along_axis(f_all, use_idx[..., None], axis=2)
+        wsel = jnp.take_along_axis(
+            jnp.broadcast_to(wmask[:, None, :], (B, nb, W)), use_idx, axis=2)
+        agg = aggregate_mean_std(sel, use_mask & wsel)           # (B, nb, 22, 2)
         return agg.reshape(B, nb, 2, 11, 2)
 
     smapped = shard_map(
         step, mesh=mesh,
-        in_specs=(P("dp", None, None), P("dp"), P("dp", None, None)),
+        in_specs=(P("dp", None, None), P("dp"), P("dp", None, None),
+                  P("dp", None, None)),
         out_specs=P("dp"),
         check_vma=False,
     )
@@ -95,7 +126,10 @@ def sharded_stats_step(mesh: Mesh):
     """Device-sharded statistics reduction: per-band Wilcoxon over subject
     deltas replicated from dp-sharded per-recording Wasserstein means.
 
-    Demonstrates the psum/all_gather reduction path of the stats stage.
+    The Wilcoxon rank statistic is inherently global over the ≤ 45 subject
+    deltas, so the right collective here is one all_gather of a (S, 5)
+    array followed by redundant replicated compute — cheaper than any
+    psum choreography at this size (the redundancy is ~10 µs of VPU work).
     """
     from ..ops.stats import wilcoxon, bh_fdr
 

@@ -19,26 +19,25 @@ from tda_eeg_audio_tpu.parallel.sharding import (make_mesh,
 @pytest.fixture(scope="module")
 def tiny_batch():
     n_win_max = 16
-    B = 4
+    B, K = 4, 9
     T = 250 + (n_win_max - 1) * 62
     rng = np.random.default_rng(0)
     eeg = rng.standard_normal((B, 47, T)).astype(np.float32)
     ns = np.full((B,), T, np.int32)
-    um = np.ones((B, 5, n_win_max), bool)
-    return eeg, ns, um, n_win_max
+    # md5-style random window subsample (VERDICT r2 weak #2: sampling must
+    # survive sharding)
+    ui = np.stack([rng.choice(n_win_max, K, replace=False)
+                   for _ in range(B * 5)]).reshape(B, 5, K).astype(np.int32)
+    um = np.ones((B, 5, K), bool)
+    return eeg, ns, ui, um, n_win_max
 
 
 def _run(mesh, tiny_batch):
-    from jax.sharding import NamedSharding, PartitionSpec as P
+    from tda_eeg_audio_tpu.parallel.sharding import shard_batch
 
-    eeg, ns, um, n_win_max = tiny_batch
+    eeg, ns, ui, um, n_win_max = tiny_batch
     step = sharded_feature_step(mesh, DEFAULT_CONFIG, n_win_max, tda_chunk=16)
-    eeg_d = jax.device_put(jnp.asarray(eeg),
-                           NamedSharding(mesh, P("dp", None, None)))
-    ns_d = jax.device_put(jnp.asarray(ns), NamedSharding(mesh, P("dp")))
-    um_d = jax.device_put(jnp.asarray(um),
-                          NamedSharding(mesh, P("dp", None, None)))
-    return np.array(step(eeg_d, ns_d, um_d))
+    return np.array(step(*shard_batch(mesh, eeg, ns, ui, um)))
 
 
 def test_sharded_matches_single_device(tiny_batch):
@@ -47,6 +46,49 @@ def test_sharded_matches_single_device(tiny_batch):
     for n_dev, dp, wp in ((4, 2, 2), (8, 4, 2)):
         got = _run(make_mesh(n_dev, dp=dp, wp=wp), tiny_batch)
         np.testing.assert_array_equal(got, ref)
+
+
+def test_production_feature_program_sharded_matches(tiny_batch):
+    """The PRODUCTION fused feature program (models.programs.
+    eeg_feature_program), GSPMD-partitioned over a dp mesh exactly as
+    StudyRunner._put places it, must match the single-device run
+    bit-for-bit — including the md5-sampled use_idx selection."""
+    from jax.sharding import Mesh
+    from tda_eeg_audio_tpu.models.programs import eeg_feature_program
+    from tda_eeg_audio_tpu.parallel.sharding import shard_batch
+
+    eeg, ns, ui, um, n_win_max = tiny_batch
+    K = ui.shape[-1]
+    ref_agg, ref_ovf = eeg_feature_program(
+        jnp.asarray(eeg), jnp.asarray(ns), jnp.asarray(ui), jnp.asarray(um),
+        DEFAULT_CONFIG, n_win_max, K, chunk=16)
+    for dp in (2, 4):
+        mesh = Mesh(np.array(jax.devices()[:dp]), ("dp",))
+        agg, ovf = eeg_feature_program(
+            *shard_batch(mesh, eeg, ns, ui, um),
+            DEFAULT_CONFIG, n_win_max, K, chunk=16)
+        np.testing.assert_array_equal(np.array(agg), np.array(ref_agg))
+        np.testing.assert_array_equal(np.array(ovf), np.array(ref_ovf))
+
+
+def test_sharded_study_rows_match_single_device():
+    """The PRODUCTION study path through StudyRunner(mesh=...) — the same
+    compute_feature_dataset the CLI runs — must emit the identical X matrix
+    on a dp mesh as on one device (VERDICT r2 next #2 'Done' criterion)."""
+    from jax.sharding import Mesh
+    from tda_eeg_audio_tpu.io.synthetic import SynthDataset
+    from tda_eeg_audio_tpu.models.study import StudyRunner
+
+    ds = SynthDataset(n_subjects=2, n_per_subject=1)
+    single = StudyRunner(ds, DEFAULT_CONFIG, eeg_batch=4, tda_chunk=64,
+                         verbose=False)
+    X1, y1, s1, fn1, m1 = single.compute_feature_dataset()
+    mesh = Mesh(np.array(jax.devices()[:4]), ("dp",))
+    sharded = StudyRunner(ds, DEFAULT_CONFIG, eeg_batch=4, tda_chunk=64,
+                          verbose=False, mesh=mesh)
+    X2, y2, s2, fn2, m2 = sharded.compute_feature_dataset()
+    assert list(fn1) == list(fn2) and list(y1) == list(y2)
+    np.testing.assert_array_equal(X2, X1)
 
 
 def test_sharded_stats_step(tiny_batch):
