@@ -715,7 +715,7 @@ class StudyRunner:
             # accuracy (exact) and speed (~20x)
             from ..ops.wasserstein import wasserstein_h0_exact
 
-            w_h0 = np.asarray(wasserstein_h0_exact(
+            w_h0 = np.array(wasserstein_h0_exact(
                 jnp.asarray(e_d), jnp.asarray(e_m),
                 jnp.asarray(a_d), jnp.asarray(a_m)))
         else:
