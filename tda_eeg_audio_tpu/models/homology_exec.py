@@ -120,12 +120,19 @@ def run_tda(dms: np.ndarray, thresh: float, backend: str = "device",
             blk = np.concatenate([blk, np.tile(blk[-1:], (pad, 1, 1))])
         out = h1_call(jnp.asarray(blk), npts_blk)
         for k in keys:
-            acc[k].append(np.array(out[k])[: chunk - pad])
-    out = {k: np.concatenate(v) for k, v in acc.items()}
+            acc[k].append(out[k][: chunk - pad])    # device arrays; async
+    # ONE device-side concat + readback per key: per-chunk np.array() calls
+    # cost a full host↔device round trip each (~40 ms on this tunnel) —
+    # 8 keys × N/chunk chunks of latency dominated small staged runs
+    out = {k: np.asarray(jnp.concatenate(v)) if len(v) > 1 else np.asarray(v[0])
+           for k, v in acc.items()}
 
     # host fallback for overflow windows (rare)
     bad = np.where(out["overflow"])[0]
     if len(bad):
+        # the batched readback yields read-only views; the scatter below
+        # needs writable buffers
+        out = {k: np.array(v) for k, v in out.items()}
         if verbose:
             print(f"  homology: {len(bad)} overflow windows → host engine")
         from ..native.engine import rips_persistence_batch

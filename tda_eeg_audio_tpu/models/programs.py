@@ -715,7 +715,12 @@ def audio_takens_program(audio: jnp.ndarray, n_samples: jnp.ndarray,
                 use_idx=use_idx, envelope=env, n_rs=n_rs)
 
 
-PALLAS_NA_MAX = 80    # stored-column VMEM arena cap at n=124 (audio Takens)
+# Stored-column VMEM arena cap at n=124 (96 × 240 × 128 × 4 B ≈ 11.8 MB —
+# comfortably inside VMEM; measured perf-neutral vs 80 at 0.38 ms/window).
+# 96 covers every audio creator count observed across the full study
+# (3 windows in 108k exceeded the previous cap of 80 and went through the
+# staged overflow redo).
+PALLAS_NA_MAX = 96
 
 
 def h1_backend_auto(n: int) -> str:

@@ -525,8 +525,14 @@ class StudyRunner:
         the audio program (via n_win_cap) and reused verbatim for the EEG
         side — the reference's paired selection
         (tda_eeg_audio_comparison.py:72-80).  The control's per-side own
-        selections live in _own_diagrams."""
-        eeg, audio, ns_e, ns_a, metas = self._load_batch(idxs)
+        selections live in _own_diagrams.
+
+        Batches are padded to eeg_batch so every call reuses one compiled
+        shape (small redo batches otherwise pay fresh multi-minute
+        compiles); outputs are sliced back to len(idxs)."""
+        B = len(idxs)
+        Bp = max(self.eeg_batch, B)
+        eeg, audio, ns_e, ns_a, metas = self._load_batch(idxs, pad_to=Bp)
         cfg = self.cfg
         dist, _, wmask_e = programs.eeg_distance_program(
             jnp.asarray(eeg), jnp.asarray(ns_e), cfg, N_WIN_MAX)
@@ -534,33 +540,33 @@ class StudyRunner:
         aud = programs.audio_takens_program(
             jnp.asarray(audio), jnp.asarray(ns_a), cfg, N_RS_MAX, N_WIN_MAX,
             K_CMP, n_win_cap=jnp.asarray(n_win_e))
-        B = len(idxs)
-        n_pair = np.array(aud["n_win"]).astype(np.int64)       # already min'd
+        n_pair = np.array(aud["n_win"]).astype(np.int64)[:B]   # already min'd
         use_idx = np.array(aud["use_idx"])
-        assert np.all(use_idx[:, 0] == 0), "idx[0] must be window 0 (τ source)"
-        assert np.all(use_idx.max(1) <= np.maximum(n_pair - 1, 0)), \
+        assert np.all(use_idx[:B, 0] == 0), "idx[0] must be window 0 (τ source)"
+        assert np.all(use_idx[:B].max(1) <= np.maximum(n_pair - 1, 0)), \
             "paired index set must stay within min(n_eeg, n_audio)"
         k = np.arange(K_CMP)
         kmask = k[None, :] < n_pair[:, None]
 
         sel_dm = jnp.take_along_axis(
             dist, jnp.asarray(use_idx)[:, None, :, None, None], axis=2)
-        eeg_dm = np.array(sel_dm).reshape(B * N_BANDS * K_CMP, 47, 47)
+        NW = N_BANDS * K_CMP
+        eeg_dm = np.array(sel_dm).reshape(Bp * NW, 47, 47)[: B * NW]
         eeg_out = homology_exec.run_tda(eeg_dm, cfg.max_edge_length,
                                         self.backend, self.tda_chunk,
                                         verbose=self.verbose)
-        aud_dm = np.array(aud["dm"]).reshape(B * N_BANDS * K_CMP,
+        aud_dm = np.array(aud["dm"]).reshape(Bp * NW,
                                              cfg.max_takens_points,
-                                             cfg.max_takens_points)
-        n_pts = np.array(aud["n_pts"]).reshape(-1)
+                                             cfg.max_takens_points)[: B * NW]
+        n_pts = np.array(aud["n_pts"]).reshape(-1)[: B * NW]
         aud_out = homology_exec.run_tda(
             aud_dm, cfg.max_edge_length, self.backend,
             max(self.tda_chunk // 8, 32), n_pts=n_pts,
             step_budget=8192, verbose=self.verbose)
         shape = (B, N_BANDS, K_CMP)
         return dict(eeg=eeg_out, audio=aud_out, kmask=kmask, metas=metas,
-                    shape=shape, tau=np.array(aud["tau"]), n_pair=n_pair,
-                    degen=np.array(aud["n_pts"] < 3))       # (B, 5, K)
+                    shape=shape, tau=np.array(aud["tau"])[:B], n_pair=n_pair,
+                    degen=np.array(aud["n_pts"] < 3)[:B])    # (B, 5, K)
 
 
     def _own_diagrams(self, idxs):
@@ -569,20 +575,23 @@ class StudyRunner:
         matched_vs_mismatched.py:35-85): get_eeg_diagrams subsamples over
         the EEG's own window count, get_audio_diagrams over the audio's own.
         No pairing is implied here; positional pairing after degenerate
-        compaction happens in _control_rows_exact."""
-        eeg, audio, ns_e, ns_a, metas = self._load_batch(idxs)
-        cfg = self.cfg
+        compaction happens in _control_rows_exact.  Batches are padded to
+        eeg_batch so redo calls reuse one compiled shape."""
         B = len(idxs)
+        Bp = max(self.eeg_batch, B)
+        eeg, audio, ns_e, ns_a, metas = self._load_batch(idxs, pad_to=Bp)
+        cfg = self.cfg
         dist, _, wmask_e = programs.eeg_distance_program(
             jnp.asarray(eeg), jnp.asarray(ns_e), cfg, N_WIN_MAX)
         n_win_e = np.array(jnp.sum(wmask_e, axis=-1)).astype(np.int64)
-        use_idx = np.zeros((B, K_CMP), np.int64)
-        for bi, nw in enumerate(n_win_e):
-            sel = _ref_linspace_idx(int(nw), K_CMP)
+        use_idx = np.zeros((Bp, K_CMP), np.int64)
+        for bi in range(B):
+            sel = _ref_linspace_idx(int(n_win_e[bi]), K_CMP)
             use_idx[bi, : len(sel)] = sel
+        NW = N_BANDS * K_CMP
         sel_dm = jnp.take_along_axis(
             dist, jnp.asarray(use_idx)[:, None, :, None, None], axis=2)
-        eeg_dm = np.array(sel_dm).reshape(B * N_BANDS * K_CMP, 47, 47)
+        eeg_dm = np.array(sel_dm).reshape(Bp * NW, 47, 47)[: B * NW]
         eeg_out = homology_exec.run_tda(eeg_dm, cfg.max_edge_length,
                                         self.backend, self.tda_chunk,
                                         verbose=self.verbose)
@@ -590,16 +599,16 @@ class StudyRunner:
             jnp.asarray(audio), jnp.asarray(ns_a), cfg, N_RS_MAX, N_WIN_MAX,
             K_CMP)                    # n_win_cap=None → own window count
         P = cfg.max_takens_points
-        aud_dm = np.array(aud["dm"]).reshape(B * N_BANDS * K_CMP, P, P)
-        n_pts = np.array(aud["n_pts"]).reshape(-1)
+        aud_dm = np.array(aud["dm"]).reshape(Bp * NW, P, P)[: B * NW]
+        n_pts = np.array(aud["n_pts"]).reshape(-1)[: B * NW]
         aud_out = homology_exec.run_tda(
             aud_dm, cfg.max_edge_length, self.backend,
             max(self.tda_chunk // 8, 32), n_pts=n_pts,
             step_budget=8192, verbose=self.verbose)
         return dict(eeg=eeg_out, audio=aud_out, metas=metas,
-                    len_e=np.minimum(n_win_e, K_CMP),
-                    len_a=np.minimum(np.array(aud["n_win"]), K_CMP),
-                    degen=np.array(aud["n_pts"] < 3))        # (B, 5, K)
+                    len_e=np.minimum(n_win_e[:B], K_CMP),
+                    len_a=np.minimum(np.array(aud["n_win"])[:B], K_CMP),
+                    degen=np.array(aud["n_pts"] < 3)[:B])    # (B, 5, K)
 
     def _mismatch_own_cache(self, mis_list):
         """Audio H1 diagrams (own-count selection) of each unique mismatch
