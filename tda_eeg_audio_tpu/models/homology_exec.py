@@ -59,20 +59,27 @@ def _features_from(out, n: int, n_pts: np.ndarray | None):
     )
 
 
-def run_tda(dms: np.ndarray, thresh: float, backend: str = "device",
+def run_tda(dms, thresh: float, backend: str = "device",
             chunk: int = 256, n_pts: np.ndarray | None = None,
             na_max: int = 96, step_budget: int = 4096,
             verbose: bool = False) -> dict:
     """Batched exact H0+H1+features over (N, n, n) distance matrices.
 
+    dms may be host numpy OR a device jnp array — device inputs are sliced
+    per chunk ON DEVICE, so callers holding device-resident matrices (the
+    staged comparison / control-redo paths) skip the ~(N·n²·4 B) host
+    round trip over the tunnel entirely.
+
     backend: "device" (XLA lockstep bitset), "pallas" (per-window TPU
     kernel), "auto" (per shape+platform routing), or "host" (C++ engine).
     """
     N, n, _ = dms.shape
+    on_host = isinstance(dms, np.ndarray)
     if backend == "host":
         from ..native.engine import rips_persistence_batch
 
-        out = rips_persistence_batch(dms, thresh=thresh, max_bars=max(na_max, 128))
+        out = rips_persistence_batch(np.asarray(dms), thresh=thresh,
+                                     max_bars=max(na_max, 128))
         out["deaths"] = np.where(out["mask"], out["deaths"], 0.0)
         return _features_from(out, n, n_pts)
 
@@ -117,8 +124,9 @@ def run_tda(dms: np.ndarray, thresh: float, backend: str = "device",
                 if chunk - len(blk) else n_pts[c:c + chunk]).astype(jnp.int32)
         pad = chunk - len(blk)
         if pad:
-            blk = np.concatenate([blk, np.tile(blk[-1:], (pad, 1, 1))])
-        out = h1_call(jnp.asarray(blk), npts_blk)
+            xp = np if on_host else jnp
+            blk = xp.concatenate([blk, xp.tile(blk[-1:], (pad, 1, 1))])
+        out = h1_call(jnp.asarray(blk) if on_host else blk, npts_blk)
         for k in keys:
             acc[k].append(out[k][: chunk - pad])    # device arrays; async
     # ONE device-side concat + readback per key: per-chunk np.array() calls
@@ -137,7 +145,7 @@ def run_tda(dms: np.ndarray, thresh: float, backend: str = "device",
             print(f"  homology: {len(bad)} overflow windows → host engine")
         from ..native.engine import rips_persistence_batch
 
-        host = rips_persistence_batch(dms[bad], thresh=thresh,
+        host = rips_persistence_batch(np.asarray(dms[bad]), thresh=thresh,
                                       max_bars=max(na_max, 256))
         K = out["births"].shape[1]
         for k_dst, k_src in (("births", "births"), ("deaths", "deaths"),

@@ -410,7 +410,7 @@ class StudyRunner:
                 dist, wmask, metas = self.eeg_distances(idxs)
                 sel = jnp.take_along_axis(
                     dist, jnp.asarray(use_idx)[:, :, :, None, None], axis=2)
-                flat = np.array(sel).reshape(B * N_BANDS * K, 47, 47)
+                flat = sel.reshape(B * N_BANDS * K, 47, 47)   # device-resident
                 tda = homology_exec.run_tda(flat, cfg.max_edge_length,
                                             self.backend, self.tda_chunk,
                                             verbose=self.verbose)
@@ -504,7 +504,7 @@ class StudyRunner:
         dist = dist[:B]
         sel = jnp.take_along_axis(
             dist, jnp.asarray(use_idx)[:, :, :, None, None], axis=2)
-        flat = np.array(sel).reshape(B * N_BANDS * K, 47, 47)
+        flat = sel.reshape(B * N_BANDS * K, 47, 47)           # device-resident
         tda = homology_exec.run_tda(flat, cfg.max_edge_length,
                                     self.backend, self.tda_chunk,
                                     na_max=128,
@@ -551,13 +551,12 @@ class StudyRunner:
         sel_dm = jnp.take_along_axis(
             dist, jnp.asarray(use_idx)[:, None, :, None, None], axis=2)
         NW = N_BANDS * K_CMP
-        eeg_dm = np.array(sel_dm).reshape(Bp * NW, 47, 47)[: B * NW]
+        eeg_dm = sel_dm.reshape(Bp * NW, 47, 47)[: B * NW]   # device-resident
         eeg_out = homology_exec.run_tda(eeg_dm, cfg.max_edge_length,
                                         self.backend, self.tda_chunk,
                                         verbose=self.verbose)
-        aud_dm = np.array(aud["dm"]).reshape(Bp * NW,
-                                             cfg.max_takens_points,
-                                             cfg.max_takens_points)[: B * NW]
+        aud_dm = aud["dm"].reshape(Bp * NW, cfg.max_takens_points,
+                                   cfg.max_takens_points)[: B * NW]
         n_pts = np.array(aud["n_pts"]).reshape(-1)[: B * NW]
         aud_out = homology_exec.run_tda(
             aud_dm, cfg.max_edge_length, self.backend,
@@ -591,7 +590,7 @@ class StudyRunner:
         NW = N_BANDS * K_CMP
         sel_dm = jnp.take_along_axis(
             dist, jnp.asarray(use_idx)[:, None, :, None, None], axis=2)
-        eeg_dm = np.array(sel_dm).reshape(Bp * NW, 47, 47)[: B * NW]
+        eeg_dm = sel_dm.reshape(Bp * NW, 47, 47)[: B * NW]   # device-resident
         eeg_out = homology_exec.run_tda(eeg_dm, cfg.max_edge_length,
                                         self.backend, self.tda_chunk,
                                         verbose=self.verbose)
@@ -599,7 +598,7 @@ class StudyRunner:
             jnp.asarray(audio), jnp.asarray(ns_a), cfg, N_RS_MAX, N_WIN_MAX,
             K_CMP)                    # n_win_cap=None → own window count
         P = cfg.max_takens_points
-        aud_dm = np.array(aud["dm"]).reshape(Bp * NW, P, P)[: B * NW]
+        aud_dm = aud["dm"].reshape(Bp * NW, P, P)[: B * NW]   # device-resident
         n_pts = np.array(aud["n_pts"]).reshape(-1)[: B * NW]
         aud_out = homology_exec.run_tda(
             aud_dm, cfg.max_edge_length, self.backend,

@@ -266,7 +266,34 @@ def _phase1(dm, n: int, thresh: float, na_max: int, n_pts=None):
                 h0_mask=h0_mask, n_tree=n_tree)
 
 
-@partial(jax.jit, static_argnames=("n", "thresh", "na_max", "h1_max", "step_budget"))
+def _h1_extract(final, na_list, ew_r, n, h1_max, overflow_na, overflow_steps,
+                h0_deaths, h0_mask, n_tree):
+    """Shared bar extraction (machine pairs only — apparent pairs are
+    zero-persistence under this refinement and never visible)."""
+    na_edge = jnp.maximum(na_list, 0)
+    births = jnp.take_along_axis(ew_r, na_edge, axis=-1)
+    g_pair = jnp.maximum(final["pair_p"], 0) // n
+    deaths = jnp.take_along_axis(ew_r, g_pair, axis=-1)
+    ess = final["essential"] & (na_list >= 0)
+    deaths = jnp.where(ess, jnp.inf, deaths)
+    vis = (na_list >= 0) & ((final["pair_p"] >= 0) | ess) & (deaths > births)
+
+    order = jnp.argsort(~vis, axis=-1, stable=True)[:, :h1_max]
+    births = jnp.take_along_axis(births, order, axis=-1)
+    deaths = jnp.take_along_axis(deaths, order, axis=-1)
+    mask = jnp.take_along_axis(vis, order, axis=-1)
+    n_essential = jnp.sum(ess, axis=-1).astype(jnp.int32)
+    overflow = overflow_na | overflow_steps | (jnp.sum(vis, axis=-1) > h1_max)
+
+    return dict(births=births, deaths=deaths, mask=mask,
+                n_essential=n_essential, overflow=overflow,
+                h0_deaths=h0_deaths, h0_mask=h0_mask, n_tree=n_tree,
+                steps=final["steps"],
+                n_na=jnp.sum(na_list >= 0, axis=-1).astype(jnp.int32))
+
+
+@partial(jax.jit, static_argnames=("n", "thresh", "na_max", "h1_max",
+                                   "step_budget"))
 def h1_diagrams(dm: jnp.ndarray, n_pts: jnp.ndarray | None = None, *, n: int,
                 thresh: float, na_max: int = 96,
                 h1_max: int = 96, step_budget: int = 4096):
@@ -284,11 +311,10 @@ def h1_diagrams(dm: jnp.ndarray, n_pts: jnp.ndarray | None = None, *, n: int,
       n_tree:         (B,) int32 — in-complex MST edges (for H0 essential count)
       overflow:       (B,) bool — na_max/step budget exceeded
     """
-    # claims stores non-apparent slot indices (0..na_max-1) as int8; beyond
-    # 128 slots the table would silently wrap — fail at trace time instead.
     if na_max > 128:
-        raise ValueError(f"na_max={na_max} > 128: int8 claims table would "
-                         "overflow; widen claims to int16 to raise this")
+        raise ValueError(f"na_max={na_max} > 128: the stored-column arena "
+                         "(B, na_max, m·n/32) would dominate HBM; shard the "
+                         "batch instead")
     B = dm.shape[0]
     bi = jnp.arange(B)
     varange = jnp.arange(n, dtype=jnp.int32)
@@ -317,6 +343,15 @@ def h1_diagrams(dm: jnp.ndarray, n_pts: jnp.ndarray | None = None, *, n: int,
         if table.dtype == jnp.bool_:
             return jnp.any(sel & table, axis=-1)
         return jnp.sum(jnp.where(sel, table, 0), axis=-1)
+
+    # Negative result, for the record: a (g-word, vertex-lane) 2-D bit
+    # layout (the Pallas kernel's case-split coboundary, back-ported here
+    # as a batched variant — O(n·m/32) per step vs O(n·m·n/32) for the
+    # flat-key scatter below) measured NEUTRAL at n=47 (0.167 vs 0.171
+    # ms/window) and 2.7x SLOWER than the per-window Pallas kernel at
+    # n=124 (1.20 vs 0.44) on the real chip: this kernel is bound by the
+    # stored-column scatter and loop fixed cost, not the coboundary
+    # element count, so the smaller tiles buy nothing.
 
     def cobd_bitset(g):
         """(B,) edge ranks → (B, W) coboundary bitsets, from rank-matrix rows."""
@@ -357,7 +392,6 @@ def h1_diagrams(dm: jnp.ndarray, n_pts: jnp.ndarray | None = None, *, n: int,
     col0 = jnp.where(active0[:, None], cobd_bitset(jnp.maximum(first_edge, 0)), 0)
     state = dict(
         col=col0, cur=cur0, active=active0,
-        claims=jnp.full((B, KS), -1, jnp.int8),
         stored=jnp.zeros((B, na_max, W), jnp.uint32),
         pair_p=jnp.full((B, na_max), -1, jnp.int32),
         essential=jnp.zeros((B, na_max), bool),
@@ -371,7 +405,7 @@ def h1_diagrams(dm: jnp.ndarray, n_pts: jnp.ndarray | None = None, *, n: int,
 
     def body(s):
         col, cur, active = s["col"], s["cur"], s["active"]
-        claims, stored = s["claims"], s["stored"]
+        stored = s["stored"]
         p, nonzero = first_set_bit(col)
         p_safe = jnp.maximum(p, 0)
         g = p_safe // n
@@ -379,9 +413,13 @@ def h1_diagrams(dm: jnp.ndarray, n_pts: jnp.ndarray | None = None, *, n: int,
         vs_g = bsel(vstar_r, g)
         app_g = bsel(apparent_r, g)
         own_app = nonzero & app_g & (vs_g == v)
-        own_slot = jnp.take_along_axis(
-            claims, p_safe[:, None], axis=-1)[:, 0].astype(jnp.int32)
-        own_na = nonzero & ~own_app & (own_slot >= 0)
+        # slot ownership straight off pair_p (keys are unique, so the
+        # (B, na_max) compare IS the key→slot map) — measured ~16 us/step
+        # cheaper than the former (B, m·n) int8 claims-table gather+scatter,
+        # and drops 13 MB of carried state
+        hit = (s["pair_p"] == p_safe[:, None]) & nonzero[:, None]
+        own_na = jnp.any(hit, axis=-1) & ~own_app
+        own_slot = jnp.argmax(hit, axis=-1).astype(jnp.int32)
         claimed = own_app | own_na
 
         do_xor = active & claimed
@@ -393,15 +431,11 @@ def h1_diagrams(dm: jnp.ndarray, n_pts: jnp.ndarray | None = None, *, n: int,
         # one fused cobd build serves both uses (operand XOR vs next column)
         cob_g = jnp.where(do_xor & own_app, g, jnp.maximum(nxt_edge, 0))
         cob = cobd_bitset(cob_g)
-        # stored-column reads are rare (most owners are apparent): skip the
-        # row gather entirely on iterations where no window needs it
         stc = jnp.take_along_axis(
-            stored, jnp.maximum(own_slot, 0)[:, None, None], axis=1)[:, 0]
+            stored, own_slot[:, None, None], axis=1)[:, 0]
         operand = jnp.where(own_app[:, None], cob, stc)
 
         # state writes (small per-batch scatters; row writes are contiguous)
-        claims = claims.at[bi, jnp.where(finish & nonzero, p_safe, KS)].set(
-            cur.astype(jnp.int8), mode="drop")
         sel_cur = na_iota[None, :] == cur[:, None]
         fn = (finish & nonzero)[:, None]
         pair_p = jnp.where(sel_cur & fn, p[:, None], s["pair_p"])
@@ -412,35 +446,14 @@ def h1_diagrams(dm: jnp.ndarray, n_pts: jnp.ndarray | None = None, *, n: int,
         new_col = jnp.where(do_xor[:, None], col ^ operand,
                             jnp.where(still[:, None], cob, col))
         active = jnp.where(finish, still, active)
-        return dict(col=new_col, cur=nxt_cur, active=active, claims=claims,
+        return dict(col=new_col, cur=nxt_cur, active=active,
                     stored=stored, pair_p=pair_p, essential=essential,
                     steps=s["steps"] + 1)
 
     final = jax.lax.while_loop(cond, body, state)
     overflow_steps = final["active"]  # (B,) still unfinished at budget end
-
-    # ---------------- extraction (machine pairs only — apparent pairs are
-    # zero-persistence under this refinement and never visible) ----------------
-    na_edge = jnp.maximum(na_list, 0)
-    births = jnp.take_along_axis(ew_r, na_edge, axis=-1)
-    g_pair = jnp.maximum(final["pair_p"], 0) // n
-    deaths = jnp.take_along_axis(ew_r, g_pair, axis=-1)
-    ess = final["essential"] & (na_list >= 0)
-    deaths = jnp.where(ess, jnp.inf, deaths)
-    vis = (na_list >= 0) & ((final["pair_p"] >= 0) | ess) & (deaths > births)
-
-    order = jnp.argsort(~vis, axis=-1, stable=True)[:, :h1_max]
-    births = jnp.take_along_axis(births, order, axis=-1)
-    deaths = jnp.take_along_axis(deaths, order, axis=-1)
-    mask = jnp.take_along_axis(vis, order, axis=-1)
-    n_essential = jnp.sum(ess, axis=-1).astype(jnp.int32)
-    overflow = overflow_na | overflow_steps | (jnp.sum(vis, axis=-1) > h1_max)
-
-    return dict(births=births, deaths=deaths, mask=mask,
-                n_essential=n_essential, overflow=overflow,
-                h0_deaths=h0_deaths, h0_mask=h0_mask, n_tree=n_tree,
-                steps=final["steps"],
-                n_na=jnp.sum(na_list >= 0, axis=-1).astype(jnp.int32))
+    return _h1_extract(final, na_list, ew_r, n, h1_max, overflow_na,
+                       overflow_steps, h0_deaths, h0_mask, n_tree)
 
 
 SENT = np.int32(2**31 - 1)  # list padding sentinel (sorts to the end)

@@ -40,12 +40,23 @@ No dynamic LANE indexing anywhere: every dynamic lookup is either a
 dynamic-SUBLANE slice (supported natively) or a broadcast-compare +
 reduce; dynamic per-lane writes are full-row selects.
 
-Negative result, for the record: a grouped variant (G windows per grid
-step, per-window logic unrolled inside one while_loop to amortize step
-overhead at n = 47) measured SLOWER than the batched XLA lockstep kernel
-(0.34 vs 0.29 ms/window at G=4) — the unrolled chains' reduce latencies
-serialize rather than interleave — so small-n EEG windows stay on the XLA
-kernel and this module only serves the audio-sized clouds.
+Negative results, for the record:
+  * a grouped variant (G windows per grid step, per-window logic unrolled
+    inside one while_loop to amortize step overhead at n = 47) measured
+    SLOWER than the batched XLA lockstep kernel (0.34 vs 0.29 ms/window at
+    G=4) — the unrolled chains' reduce latencies serialize rather than
+    interleave — so small-n EEG windows stay on the XLA kernel and this
+    module only serves the audio-sized clouds.
+  * a windowed variant (every per-step tile op restricted to the dynamic
+    word-row window [pivot_row, ceil(m_cx/32)) — pivots are strictly
+    increasing along a chain, keys bounded by m_cx — with bs=8-row blocks,
+    dynamic-bound fori loops, and a first-nonempty-block pivot scan)
+    measured 0.69 vs 0.42 ms/window at n=124: the kernel is per-step
+    LATENCY-bound, and the block loops lengthen the dependent chain more
+    than the smaller tiles save.
+  * swapping the broadcast-compare tgathers for dynamic-sublane row loads
+    (shallower reduce tree) measured neutral at n=124 — the table gathers
+    are not on the critical path.
 """
 
 from __future__ import annotations
@@ -264,6 +275,7 @@ def h1_diagrams_pallas(dm: jnp.ndarray, n_pts: jnp.ndarray | None = None, *,
 
     kernel = functools.partial(_reduce_kernel, g_cap=g_cap, na_max=na_max,
                                step_budget=step_budget)
+    stored_shape = (na_max, srows, LANES)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
@@ -276,7 +288,7 @@ def h1_diagrams_pallas(dm: jnp.ndarray, n_pts: jnp.ndarray | None = None, *,
                                memory_space=pltpu.VMEM),
         scratch_shapes=[
             pltpu.VMEM((srows, LANES), jnp.int32),
-            pltpu.VMEM((na_max, srows, LANES), jnp.int32),
+            pltpu.VMEM(stored_shape, jnp.int32),
         ],
     )
     out = pl.pallas_call(

@@ -153,3 +153,24 @@ def test_tiny_cloud_na_clamp_and_cpu_fallback():
         jnp.asarray(d[None]), n=12, thresh=2.0, na_max=80, h1_max=96,
         interpret=True).items()}
     assert b["births"].shape == (1, 96)
+
+
+def test_run_tda_device_resident_input_matches_host():
+    """run_tda must accept a device (jnp) batch and produce the same
+    features/bars as the host-numpy path — the staged comparison/control
+    paths hand it device-resident distance matrices to skip the host
+    round trip (models/study.py)."""
+    from tda_eeg_audio_tpu.models.homology_exec import run_tda
+
+    rng = np.random.default_rng(3)
+    dml = []
+    for _ in range(5):
+        pts = rng.standard_normal((20, 3)).astype(np.float32)
+        d = np.sqrt(((pts[:, None] - pts[None, :]) ** 2).sum(-1))
+        np.fill_diagonal(d, 0)
+        dml.append(d)
+    dms = np.stack(dml).astype(np.float32)
+    host = run_tda(dms, 2.0, backend="device", chunk=4)
+    dev = run_tda(jnp.asarray(dms), 2.0, backend="device", chunk=4)
+    for k in ("births", "deaths", "fin_mask", "features"):
+        np.testing.assert_array_equal(np.asarray(host[k]), np.asarray(dev[k]))
