@@ -293,10 +293,11 @@ def _h1_extract(final, na_list, ew_r, n, h1_max, overflow_na, overflow_steps,
 
 
 @partial(jax.jit, static_argnames=("n", "thresh", "na_max", "h1_max",
-                                   "step_budget"))
+                                   "step_budget", "layout"))
 def h1_diagrams(dm: jnp.ndarray, n_pts: jnp.ndarray | None = None, *, n: int,
                 thresh: float, na_max: int = 96,
-                h1_max: int = 96, step_budget: int = 4096):
+                h1_max: int = 96, step_budget: int = 4096,
+                layout: str = "gv"):
     """Batched exact H1 persistence diagrams (see module docstring).
 
     dm: (B, n, n) symmetric distances, zero diag (padding points must carry
@@ -344,14 +345,143 @@ def h1_diagrams(dm: jnp.ndarray, n_pts: jnp.ndarray | None = None, *, n: int,
             return jnp.any(sel & table, axis=-1)
         return jnp.sum(jnp.where(sel, table, 0), axis=-1)
 
-    # Negative result, for the record: a (g-word, vertex-lane) 2-D bit
-    # layout (the Pallas kernel's case-split coboundary, back-ported here
-    # as a batched variant — O(n·m/32) per step vs O(n·m·n/32) for the
-    # flat-key scatter below) measured NEUTRAL at n=47 (0.167 vs 0.171
-    # ms/window) and 2.7x SLOWER than the per-window Pallas kernel at
-    # n=124 (1.20 vs 0.44) on the real chip: this kernel is bound by the
-    # stored-column scatter and loop fixed cost, not the coboundary
-    # element count, so the smaller tiles buy nothing.
+    if layout == "gv":
+        # ---- (g-word, vertex-lane) 2-D bit layout — the Pallas kernel's
+        # case-split scatter (ops/homology_pallas.py) back-ported to the
+        # BATCHED kernel.  A column is (G, n) uint32 with bit g%32 of word
+        # [g//32, v] ⇔ key (g, v).  A coboundary lands as three dense
+        # pieces: case E in the edge's own word row (lane = opposite
+        # vertex), cases I/J each entirely in ONE lane (j_g / i_g) with the
+        # per-vertex cross-edge ranks as (word, bit) positions — distinct
+        # ranks ⇒ distinct bits ⇒ the vertex-sum is an exact OR.  Per-step
+        # cost drops from O(n·W) = O(n·m·n/32) for the flat-key scatter to
+        # O(n·G + G·n) = O(n·m/32) — ~n× less element work per step.
+        # (A first A/B read "neutral at n=47" — but both sides of that
+        # measurement sat on the ~35 ms/chunk host-tunnel round-trip floor;
+        # async-dispatch timing shows the real difference.)
+        G = (m + 31) // 32
+        gw_iota = jnp.arange(G, dtype=jnp.int32)
+        one_u = jnp.uint32(1)
+
+        def cobd_gv(g):
+            i_g = bsel(iu_r, g)
+            j_g = bsel(ju_r, g)
+            sel_i = (varange[None, :] == i_g[:, None])[:, :, None]
+            sel_j = (varange[None, :] == j_g[:, None])[:, :, None]
+            row_i = jnp.sum(jnp.where(sel_i, rank_mat, 0), axis=1)  # (B, n)
+            row_j = jnp.sum(jnp.where(sel_j, rank_mat, 0), axis=1)
+            gmax = jnp.maximum(g[:, None], jnp.maximum(row_i, row_j))
+            valid = gmax < m_cx[:, None]
+            case_e = valid & (gmax == g[:, None])   # cases disjoint: all
+            case_i = valid & (gmax == row_i)        # edge ranks distinct
+            case_j = valid & (gmax == row_j)
+            tile_e = jnp.where(
+                (gw_iota[None, :] == (g // 32)[:, None])[:, :, None]
+                & case_e[:, None, :],
+                (one_u << (g % 32).astype(jnp.uint32))[:, None, None],
+                jnp.uint32(0))
+            w_i = row_i // 32
+            b_i = one_u << (row_i % 32).astype(jnp.uint32)
+            colv_i = jnp.sum(
+                jnp.where(case_i[:, :, None]
+                          & (w_i[:, :, None] == gw_iota[None, None, :]),
+                          b_i[:, :, None], 0),
+                axis=1, dtype=jnp.uint32)                           # (B, G)
+            w_j = row_j // 32
+            b_j = one_u << (row_j % 32).astype(jnp.uint32)
+            colv_j = jnp.sum(
+                jnp.where(case_j[:, :, None]
+                          & (w_j[:, :, None] == gw_iota[None, None, :]),
+                          b_j[:, :, None], 0),
+                axis=1, dtype=jnp.uint32)
+            lane = varange[None, None, :]
+            return (tile_e
+                    | jnp.where(lane == j_g[:, None, None],
+                                colv_i[:, :, None], jnp.uint32(0))
+                    | jnp.where(lane == i_g[:, None, None],
+                                colv_j[:, :, None], jnp.uint32(0)))
+
+        def first_set_bit_gv(col):
+            nz = col != 0
+            low = col & (~col + jnp.uint32(1))
+            tz = jax.lax.population_count(
+                low - jnp.uint32(1)).astype(jnp.int32)
+            g_val = jnp.where(nz, gw_iota[None, :, None] * 32 + tz, BIG)
+            g_ln = jnp.min(g_val, axis=1)                   # (B, n)
+            g_min = jnp.min(g_ln, axis=1)                   # (B,)
+            any_ = g_min < BIG
+            v_min = jnp.min(jnp.where(g_ln == g_min[:, None],
+                                      varange[None, :], BIG), axis=1)
+            return jnp.where(any_, g_min * n + v_min, -1), any_
+
+        cur0 = jnp.zeros((B,), jnp.int32)
+        first_edge = na_list[:, 0]
+        active0 = first_edge >= 0
+        col0 = jnp.where(active0[:, None, None],
+                         cobd_gv(jnp.maximum(first_edge, 0)), jnp.uint32(0))
+        state = dict(
+            col=col0, cur=cur0, active=active0,
+            stored=jnp.zeros((B, na_max, G, n), jnp.uint32),
+            pair_p=jnp.full((B, na_max), -1, jnp.int32),
+            essential=jnp.zeros((B, na_max), bool),
+            steps=jnp.int32(0),
+        )
+
+        def cond(s):
+            return jnp.any(s["active"]) & (s["steps"] < step_budget)
+
+        na_iota = jnp.arange(na_max, dtype=jnp.int32)
+
+        def body(s):
+            col, cur, active = s["col"], s["cur"], s["active"]
+            stored = s["stored"]
+            p, nonzero = first_set_bit_gv(col)
+            p_safe = jnp.maximum(p, 0)
+            g = p_safe // n
+            v = p_safe - g * n
+            vs_g = bsel(vstar_r, g)
+            app_g = bsel(apparent_r, g)
+            own_app = nonzero & app_g & (vs_g == v)
+            # slot ownership straight off pair_p (unique keys), as in the
+            # flat layout — no claims table
+            hit = (s["pair_p"] == p_safe[:, None]) & nonzero[:, None]
+            own_na = jnp.any(hit, axis=-1) & ~own_app
+            own_slot = jnp.argmax(hit, axis=-1).astype(jnp.int32)
+            claimed = own_app | own_na
+
+            do_xor = active & claimed
+            finish = active & ~claimed
+            nxt_cur = jnp.where(finish, cur + 1, cur)
+            nxt_edge = bsel(na_list, jnp.minimum(nxt_cur, na_max - 1))
+            still = finish & (nxt_cur < na_max) & (nxt_edge >= 0)
+
+            cob_g = jnp.where(do_xor & own_app, g, jnp.maximum(nxt_edge, 0))
+            cob = cobd_gv(cob_g)
+            stc = jnp.take_along_axis(
+                stored, own_slot[:, None, None, None],
+                axis=1)[:, 0]
+            operand = jnp.where(own_app[:, None, None], cob, stc)
+
+            sel_cur = na_iota[None, :] == cur[:, None]
+            fn = (finish & nonzero)[:, None]
+            pair_p = jnp.where(sel_cur & fn, p[:, None], s["pair_p"])
+            essential = s["essential"] | (sel_cur
+                                          & (finish & ~nonzero)[:, None])
+            stored = stored.at[
+                bi, jnp.where(finish & nonzero, cur, na_max)].set(
+                col, mode="drop")
+
+            new_col = jnp.where(do_xor[:, None, None], col ^ operand,
+                                jnp.where(still[:, None, None], cob, col))
+            active = jnp.where(finish, still, active)
+            return dict(col=new_col, cur=nxt_cur, active=active,
+                        stored=stored, pair_p=pair_p,
+                        essential=essential, steps=s["steps"] + 1)
+
+        final = jax.lax.while_loop(cond, body, state)
+        overflow_steps = final["active"]
+        return _h1_extract(final, na_list, ew_r, n, h1_max, overflow_na,
+                           overflow_steps, h0_deaths, h0_mask, n_tree)
 
     def cobd_bitset(g):
         """(B,) edge ranks → (B, W) coboundary bitsets, from rank-matrix rows."""
