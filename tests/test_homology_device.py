@@ -193,6 +193,24 @@ def test_sparse_reduction_matches_bitset():
                        ("births", "deaths", "mask")))
 
 
+def test_gv_layout_matches_flat():
+    """(g-word, vertex-lane) bit layout == flat-key layout, bar for bar
+    (the gv layout is the production default; flat is the fallback)."""
+    rng = np.random.default_rng(11)
+    dms = np.stack([_corr_dm(rng, n=23, t=100) for _ in range(8)]).astype(
+        np.float32)
+    a = h1_diagrams(jnp.asarray(dms), n=23, thresh=2.0, na_max=64,
+                    h1_max=64, step_budget=4096, layout="gv")
+    b = h1_diagrams(jnp.asarray(dms), n=23, thresh=2.0, na_max=64,
+                    h1_max=64, step_budget=4096, layout="flat")
+    for i in range(len(dms)):
+        assert _dgm_set(*(np.asarray(a[k])[i] for k in
+                          ("births", "deaths", "mask"))) == \
+            _dgm_set(*(np.asarray(b[k])[i] for k in
+                       ("births", "deaths", "mask")))
+        assert int(a["n_essential"][i]) == int(b["n_essential"][i])
+
+
 def test_enclosing_radius_truncation_exact():
     """min(thresh, r_enc) truncation leaves visible H0/H1 bars unchanged
     (ripser's enclosing-radius optimization) — checked vs the oracle at the
