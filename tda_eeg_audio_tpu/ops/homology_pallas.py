@@ -91,11 +91,9 @@ def _reduce_kernel(mcx_ref, packed_ref, out_ref, col, stored,
     """
     srows = g_cap // 32
     t_srows = g_cap // LANES
-    OFF_IU = LANES
-    OFF_JU = OFF_IU + t_srows
-    OFF_VS = OFF_JU + t_srows
-    OFF_AP = OFF_VS + t_srows
-    OFF_NA = OFF_AP + t_srows
+    OFF_IUJU = LANES       # iu*128 + ju, one table row set instead of two
+    OFF_AV = OFF_IUJU + t_srows   # apparent ? vstar : -1, ditto
+    OFF_NA = OFF_AV + t_srows
     m_cx = mcx_ref[pl.program_id(0)]
 
     s_iota = jax.lax.broadcasted_iota(jnp.int32, (srows, LANES), 0)
@@ -119,8 +117,9 @@ def _reduce_kernel(mcx_ref, packed_ref, out_ref, col, stored,
 
     def cobd(g_e):
         """(srows, LANES) int32 coboundary bitset of the edge ranked g_e."""
-        i_g = tgather(OFF_IU, g_e)
-        j_g = tgather(OFF_JU, g_e)
+        ij = tgather(OFF_IUJU, g_e)      # iu*128 + ju in ONE gather — each
+        i_g = ij // LANES                # gather is a tile reduce + scalar
+        j_g = ij - i_g * LANES           # round trip on the dependent chain
         row_i = packed_ref[0, pl.ds(i_g, 1), :]          # (1, LANES)
         row_j = packed_ref[0, pl.ds(j_g, 1), :]
         gmax = jnp.maximum(g_e, jnp.maximum(row_i, row_j))
@@ -144,16 +143,17 @@ def _reduce_kernel(mcx_ref, packed_ref, out_ref, col, stored,
                 ^ jnp.where(l_iota == i_g, bits_j, 0))
 
     def pivot():
-        """Min (g, v) key of the working column; g == BIG if empty."""
+        """Min key g*LANES + v of the working column; >= BIG if empty.
+
+        ONE lexicographic min-reduce (min over g*128+v == (g, v) order)
+        instead of per-lane g-min → global g-min → lane-min: two fewer
+        reduce + vector→scalar round trips on the per-step dependent chain."""
         c = col[:]
         nz = c != 0
         low = c & (-c)                               # lowest set bit (2's-compl)
         tz = jax.lax.population_count(low - one)
-        g_word = s_iota * 32 + tz
-        g_lane = jnp.min(jnp.where(nz, g_word, BIG), axis=0, keepdims=True)
-        g_min = jnp.min(g_lane)
-        v_min = jnp.min(jnp.where(g_lane == g_min, lane1, BIG))
-        return g_min, v_min
+        key_t = jnp.where(nz, (s_iota * 32 + tz) * LANES + l_iota, BIG)
+        return jnp.min(key_t)
 
     out_ref[0, 0, :] = jnp.full((LANES,), -1, jnp.int32)
     out_ref[0, 1, :] = jnp.zeros((LANES,), jnp.int32)
@@ -169,12 +169,13 @@ def _reduce_kernel(mcx_ref, packed_ref, out_ref, col, stored,
 
         def body(carry):
             cur, active, steps = carry
-            g_p, v_p = pivot()
-            nonzero = g_p < BIG
-            key = g_p * LANES + v_p
-            g_s = jnp.where(nonzero, g_p, 0)
-            own_app = nonzero & (tgather(OFF_AP, g_s) != 0) \
-                & (tgather(OFF_VS, g_s) == v_p)
+            key = pivot()
+            nonzero = key < BIG
+            key = jnp.where(nonzero, key, -1)
+            g_s = jnp.where(nonzero, key // LANES, 0)
+            v_p = key - g_s * LANES
+            # apparent ? vstar : -1 in ONE gather; -1 never equals a lane
+            own_app = nonzero & (tgather(OFF_AV, g_s) == v_p)
             prior = out_ref[0, 0, :][None]               # (1, LANES)
             match = (prior == key) & nonzero
             own_na = jnp.any(match) & ~own_app
@@ -254,7 +255,11 @@ def h1_diagrams_pallas(dm: jnp.ndarray, n_pts: jnp.ndarray | None = None, *,
     g_slice = min(g_cap, m)
 
     # ---- ONE packed per-window operand block (single input DMA/step) ----
-    r_used = LANES + 4 * t_srows + 1
+    # iu/ju ride one table as iu*128+ju; apparent/vstar as (app ? vstar : -1)
+    # — halves the rank-indexed table rows (DMA bytes) and, more important,
+    # halves the tile-reduce + vector→scalar gathers on the kernel's
+    # per-step dependent chain
+    r_used = LANES + 2 * t_srows + 1
     r_tot = -(-r_used // 8) * 8
     packed = jnp.full((B, r_tot, LANES), BIG, jnp.int32)
     packed = packed.at[:, :n, :n].set(ph["rank_mat"])
@@ -264,9 +269,10 @@ def h1_diagrams_pallas(dm: jnp.ndarray, n_pts: jnp.ndarray | None = None, *,
         return t.at[:, :g_slice].set(
             x[:, :g_slice].astype(jnp.int32)).reshape(B, t_srows, LANES)
 
+    iuju = ph["iu_r"].astype(jnp.int32) * LANES + ph["ju_r"].astype(jnp.int32)
+    appvs = jnp.where(ph["apparent_r"], ph["vstar_r"].astype(jnp.int32), -1)
     off = LANES
-    for x, fill in ((ph["iu_r"], 0), (ph["ju_r"], 0), (ph["vstar_r"], -1),
-                    (ph["apparent_r"], 0)):
+    for x, fill in ((iuju, 0), (appvs, -1)):
         packed = packed.at[:, off:off + t_srows, :].set(table(x, fill))
         off += t_srows
     na_row = jnp.full((B, LANES), -1, jnp.int32).at[:, :na_eff].set(na_list)
