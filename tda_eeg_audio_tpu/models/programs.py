@@ -220,10 +220,10 @@ def recording_features(dist: jnp.ndarray, use_idx: jnp.ndarray,
 def _wass_chunk_program(bb1, dd1, mm1, bb2, dd2, mm2):
     """One Sinkhorn-Wasserstein chunk (persim semantics; build_cost_matrix
     injects the reference's (0,0) empty-diagram sentinels itself)."""
-    from ..ops.wasserstein import build_cost_matrix, sinkhorn_cost
+    from ..ops.wasserstein import build_cost_matrix, sinkhorn_cost_stab
 
     D = build_cost_matrix(bb1, dd1, mm1, bb2, dd2, mm2)
-    return sinkhorn_cost(D)
+    return sinkhorn_cost_stab(D)
 
 
 def _wass_h0_exact_chunked(d1, m1, d2, m2, chunk=2048):
@@ -292,17 +292,18 @@ def _wass_chunk_tiered(bb1, dd1, mm1, bb2, dd2, mm2):
     chunk actually has a bar beyond the slice: exactness is never traded
     (the pad slots are forced zero-cost pad↔pad matches, so the valid
     sub-assignment is width-invariant — VERDICT r2 next #1 (iv))."""
-    from ..ops.wasserstein import build_cost_matrix, sinkhorn_cost
+    from ..ops.wasserstein import build_cost_matrix, sinkhorn_cost_stab
 
     def run(w):
         def f():
-            return sinkhorn_cost(build_cost_matrix(
+            return sinkhorn_cost_stab(build_cost_matrix(
                 bb1[:, :w], dd1[:, :w], mm1[:, :w],
                 bb2[:, :w], dd2[:, :w], mm2[:, :w]))
         return f
 
     def full():
-        return sinkhorn_cost(build_cost_matrix(bb1, dd1, mm1, bb2, dd2, mm2))
+        return sinkhorn_cost_stab(
+            build_cost_matrix(bb1, dd1, mm1, bb2, dd2, mm2))
 
     expr = full
     for w in W_TIERS[::-1]:

@@ -266,3 +266,35 @@ def test_h0_exact_dp_vs_jv():
     dp = np.asarray(wasserstein_h0_exact(jnp.asarray(d1), jnp.asarray(m1),
                                          jnp.asarray(d2), jnp.asarray(m2)))
     np.testing.assert_allclose(dp, exact, rtol=1e-5, atol=1e-6)
+
+
+def test_sinkhorn_stab_matches_log_and_exact():
+    """The stabilized linear-domain Sinkhorn (production tiered path) hits
+    the same fixed point as the log-domain version: both within 5e-3 of the
+    exact JV matcher on random study-shaped diagrams, and within 1e-3 of
+    each other (same ε ladder, same potentials)."""
+    from tda_eeg_audio_tpu.ops.wasserstein import sinkhorn_cost_stab
+
+    rng = np.random.default_rng(11)
+    N, K = 24, 40
+
+    def mk():
+        b = rng.uniform(0, 1.5, (N, K)).astype(np.float32)
+        d = (b + rng.uniform(0.01, 0.8, (N, K))).astype(np.float32)
+        m = np.zeros((N, K), bool)
+        for i in range(N):
+            m[i, : rng.integers(0, 18)] = True
+        return np.where(m, b, 0).astype(np.float32), \
+            np.where(m, d, 0).astype(np.float32), m
+
+    b1, d1, m1 = mk()
+    b2, d2, m2 = mk()
+    exact = wasserstein_batch(b1, d1, m1, b2, d2, m2)
+    D = build_cost_matrix(jnp.asarray(b1), jnp.asarray(d1), jnp.asarray(m1),
+                          jnp.asarray(b2), jnp.asarray(d2), jnp.asarray(m2))
+    log_o = np.asarray(sinkhorn_cost(D))
+    stab_o = np.asarray(sinkhorn_cost_stab(D))
+    denom = np.maximum(np.abs(exact), 1e-3)
+    assert np.max(np.abs(stab_o - exact) / denom) < 5e-3, \
+        np.max(np.abs(stab_o - exact) / denom)
+    assert np.max(np.abs(stab_o - log_o) / denom) < 1e-3
