@@ -46,6 +46,13 @@ def _figures_module():
         tlog.LOGGER.event("figures_skipped", error=repr(e))
         return None
 
+@jax.jit
+def _bank_gather(x, slots):
+    """(U, WB, H) device bank + (Bp,) slots → (Bp·WB, H) batch view."""
+    g = jnp.take(x, slots, axis=0)
+    return g.reshape(g.shape[0] * g.shape[1], g.shape[2])
+
+
 # Padded-shape constants for the study (max recording ≈ 23 s @ 250 Hz)
 T_EEG_PAD = 5800
 T_AUDIO_PAD = 44100 * 24
@@ -803,29 +810,50 @@ class StudyRunner:
         """Compute each unique mismatch recording's audio H1 diagrams ONCE
         (the reference recomputes the same FIRST opposite-condition file for
         every one of its ~16 pairings, matched_vs_mismatched.py:117-141 —
-        this de-duplication halves the audio-branch diagram count)."""
+        this de-duplication halves the audio-branch diagram count).
+
+        Returns (bank, slot): bank["b"/"d"/"m"] are (U+1, WB, H)
+        DEVICE-resident diagram arrays (the last row stays all-zero as the
+        "no mismatch partner" slot) and bank["n_win"/"degen"] tiny host
+        arrays; slot maps recording index → bank row for every non-failed
+        mismatch file.  Keeping the bank on device lets `_fused_rows`
+        gather each batch's mismatch diagrams with one on-device take —
+        the previous host round trip re-uploaded ~5 MB × 3 arrays per
+        batch (~450 MB over the full study at this deployment's
+        30-115 MB/s link: several seconds of pure transfer)."""
         mis_list = sorted(set(mis_idx.values()))
-        cache = {}
+        WB = N_BANDS * K_CMP
+        parts_b, parts_d, parts_m, n_wins, degens = [], [], [], [], []
+        slot = {}
         for b0 in range(0, len(mis_list), self.eeg_batch):
             idxs = mis_list[b0:b0 + self.eeg_batch]
             _, audio, _, ns_a, metas = self._load_batch(
                 idxs, pad_to=self.eeg_batch)
-            B = len(idxs)
             out = programs.audio_h1_program(
                 self._put(audio), self._put(ns_a), self.cfg,
                 N_RS_MAX, N_WIN_MAX, K_CMP, aud_chunk=aud_chunk)
-            WB = N_BANDS * K_CMP
-            h1_b = np.asarray(out["h1_b"]).reshape(self.eeg_batch, WB, -1)
-            h1_d = np.asarray(out["h1_d"]).reshape(self.eeg_batch, WB, -1)
-            h1_m = np.asarray(out["h1_m"]).reshape(self.eeg_batch, WB, -1)
-            n_win = np.asarray(out["n_win"])
-            degen = np.asarray(out["degen"])
+            H = out["h1_b"].shape[-1]
+            parts_b.append(out["h1_b"].reshape(self.eeg_batch, WB, H))
+            parts_d.append(out["h1_d"].reshape(self.eeg_batch, WB, H))
+            parts_m.append(out["h1_m"].reshape(self.eeg_batch, WB, H))
+            n_wins.append(out["n_win"])      # device refs — read back once
+            degens.append(out["degen"])      # below, not per batch
             for bi_, i in enumerate(idxs):
                 if metas[bi_].get("failed"):
                     continue
-                cache[i] = dict(b=h1_b[bi_], d=h1_d[bi_], m=h1_m[bi_],
-                                n_win=int(n_win[bi_]), degen=degen[bi_])
-        return cache
+                slot[i] = b0 + bi_
+        if not parts_b:
+            return None, {}
+        H = parts_b[0].shape[-1]
+        bank = dict(
+            b=jnp.concatenate(
+                parts_b + [jnp.zeros((1, WB, H), jnp.float32)]),
+            d=jnp.concatenate(
+                parts_d + [jnp.zeros((1, WB, H), jnp.float32)]),
+            m=jnp.concatenate(parts_m + [jnp.zeros((1, WB, H), bool)]),
+            n_win=np.asarray(jnp.concatenate(n_wins)),
+            degen=np.asarray(jnp.concatenate(degens)))
+        return bank, slot
 
     def _fused_rows(self):
         """One fused device pass over all recordings → comparison + control
@@ -846,42 +874,48 @@ class StudyRunner:
         else:
             aud_chunk = max(min(self.tda_chunk // 4, 64), 16)
         t_mc = time.time()
-        mis_cache = self._mismatch_diagram_cache(mis_idx, aud_chunk)
+        bank, mis_slot = self._mismatch_diagram_cache(mis_idx, aud_chunk)
         tlog.LOGGER.stage("mismatch_cache", time.time() - t_mc,
-                          items=len(mis_cache))
-        H_MIS = next(iter(mis_cache.values()))["b"].shape[-1] \
-            if mis_cache else 96
+                          items=len(mis_slot))
+        Bp = self.eeg_batch
+        WB = N_BANDS * K_CMP
+        if bank is None:     # no opposite-condition file anywhere
+            bank = dict(b=jnp.zeros((1, WB, 96), jnp.float32),
+                        d=jnp.zeros((1, WB, 96), jnp.float32),
+                        m=jnp.zeros((1, WB, 96), bool),
+                        n_win=np.zeros(0, np.int32),
+                        degen=np.zeros((0, N_BANDS, K_CMP), bool))
+        zero_slot = bank["b"].shape[0] - 1
         rows = []
         t0 = time.time()
         all_idx = list(range(len(self.ds)))
         batches = []        # (packed_dev, idxs, metas, has_mis, mis_degen)
-        Bp = self.eeg_batch
         for b0 in range(0, len(all_idx), self.eeg_batch):
             idxs = all_idx[b0:b0 + self.eeg_batch]
             eeg, audio, ns_e, ns_a, metas = self._load_batch(
                 idxs, pad_to=self.eeg_batch)
             B = len(idxs)
-            WB = N_BANDS * K_CMP
-            mis_b = np.zeros((Bp, WB, H_MIS), np.float32)
-            mis_d = np.zeros((Bp, WB, H_MIS), np.float32)
-            mis_m = np.zeros((Bp, WB, H_MIS), bool)
+            slots = np.full(Bp, zero_slot, np.int32)
             mis_n_win = np.zeros(Bp, np.int32)
             mis_degen = np.zeros((Bp, N_BANDS, K_CMP), bool)
             has_mis = np.zeros(B, bool)
             for bi_, i in enumerate(idxs):
                 fn, subj, cond = self.ds.index[i]
-                c = mis_cache.get(mis_idx.get((subj, cond)))
-                if c is not None:
+                u = mis_slot.get(mis_idx.get((subj, cond)))
+                if u is not None:
                     has_mis[bi_] = True
-                    mis_b[bi_], mis_d[bi_], mis_m[bi_] = c["b"], c["d"], c["m"]
-                    mis_n_win[bi_] = c["n_win"]
-                    mis_degen[bi_] = c["degen"]
+                    slots[bi_] = u
+                    mis_n_win[bi_] = bank["n_win"][u]
+                    mis_degen[bi_] = bank["degen"][u]
+            # mismatch diagrams: one on-device gather from the bank — only
+            # the (Bp,) slot vector crosses the link
+            slots_d = jnp.asarray(slots)
             out = programs.comparison_program(
                 self._put(eeg), self._put(ns_e), self._put(audio),
                 self._put(ns_a),
-                (self._put(mis_b.reshape(Bp * WB, H_MIS)),
-                 self._put(mis_d.reshape(Bp * WB, H_MIS)),
-                 self._put(mis_m.reshape(Bp * WB, H_MIS))),
+                (self._put(_bank_gather(bank["b"], slots_d)),
+                 self._put(_bank_gather(bank["d"], slots_d)),
+                 self._put(_bank_gather(bank["m"], slots_d))),
                 self._put(mis_n_win), self._put(mis_degen),
                 cfg, N_WIN_MAX, N_RS_MAX, K_CMP,
                 eeg_chunk=min(self.tda_chunk, 256),
@@ -909,7 +943,7 @@ class StudyRunner:
                               rows, FEATS)
         tlog.LOGGER.stage("fused_comparison", time.time() - t0,
                      items=len(all_idx) * N_BANDS * K_CMP,
-                     n_mismatch_cached=len(mis_cache))
+                     n_mismatch_cached=len(mis_slot))
         n_ovf = sum(1 for r in rows if r.get("overflow"))
         if n_ovf:
             tlog.LOGGER.event("comparison_overflow", n_rows=n_ovf)
