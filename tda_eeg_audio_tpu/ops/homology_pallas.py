@@ -158,6 +158,15 @@ def _reduce_kernel(mcx_ref, packed_ref, out_ref, col, stored,
     out_ref[0, 0, :] = jnp.full((LANES,), -1, jnp.int32)
     out_ref[0, 1, :] = jnp.zeros((LANES,), jnp.int32)
     first = na_at(0)
+    # creator count: na row is valid-first, -1 padded, so
+    # na_list[k] >= 0  ⇔  k < n_na.  Computing the count ONCE turns the
+    # per-step "is there another creator" check into scalar arithmetic —
+    # the old na_at(nxt_cur) gather sat on EVERY step's dependent chain
+    # (via the while_loop condition) though its value is consumed only on
+    # finish steps, ~1 in 9 on study windows.
+    n_na = jnp.minimum(
+        jnp.sum((packed_ref[0, OFF_NA, :][None] >= 0).astype(jnp.int32)),
+        na_max)
 
     @pl.when(first >= 0)
     def _():
@@ -194,8 +203,7 @@ def _reduce_kernel(mcx_ref, packed_ref, out_ref, col, stored,
 
             # finish step: record pair, persist column, load next creator
             nxt_cur = jnp.where(claimed, cur, cur + 1)
-            nxt_edge = na_at(jnp.minimum(nxt_cur, na_max - 1))
-            still = (nxt_cur < na_max) & (nxt_edge >= 0)
+            still = nxt_cur < n_na
 
             @pl.when(~claimed)
             def _():
@@ -210,7 +218,7 @@ def _reduce_kernel(mcx_ref, packed_ref, out_ref, col, stored,
 
                 @pl.when(still)
                 def _():
-                    col[:] = cobd(nxt_edge)
+                    col[:] = cobd(na_at(jnp.minimum(nxt_cur, na_max - 1)))
 
             new_active = jnp.where(claimed, active, still)
             return nxt_cur, new_active, steps + 1
