@@ -315,13 +315,16 @@ def _wass_chunk_tiered(bb1, dd1, mm1, bb2, dd2, mm2):
     return expr()
 
 
+@partial(jax.jit, static_argnames=("chunk",))
 def _wass_sinkhorn_tiered(b1, d1, m1, b2, d2, m2, chunk=128):
     """Size-sorted tiered Sinkhorn over (N, K) padded diagram pairs.
 
     Pairs are sorted by bar count so each fixed-size chunk is homogeneous:
     the few dense pairs share the wide-tier chunks and the long tail runs
     at (16+16)² — the bar-count-bucketed fast path.  Everything (compaction,
-    sort, gather, inverse permutation) stays on device."""
+    sort, gather, inverse permutation) stays on device.  Jitted whole: the
+    chunk loop otherwise dispatches ~50 chunk programs + eager glue ops per
+    call (~10k dispatches over the study's 180 calls), pure host overhead."""
     N = b1.shape[0]
     b1, d1, m1 = _compact_rows(b1, d1, m1)
     b2, d2, m2 = _compact_rows(b2, d2, m2)
