@@ -91,6 +91,55 @@ def test_sharded_study_rows_match_single_device():
     np.testing.assert_array_equal(X2, X1)
 
 
+def test_production_comparison_program_sharded_matches():
+    """The PRODUCTION fused comparison program (models.programs.
+    comparison_program — 75+% of the study wall clock), GSPMD-partitioned
+    over a dp mesh exactly as StudyRunner._put places it, must match the
+    single-device run on every packed output (VERDICT r2 next #2)."""
+    import dataclasses
+
+    from jax.sharding import Mesh
+    from tda_eeg_audio_tpu.models.programs import (audio_h1_program,
+                                                   comparison_program,
+                                                   pack_comparison_outputs)
+    from tda_eeg_audio_tpu.parallel.sharding import shard_batch
+
+    cfg = dataclasses.replace(DEFAULT_CONFIG, window_sec=0.2,
+                              fir_numtaps=101)
+    B, n_win_max, n_rs_max, K = 4, 12, 300, 5
+    win, step = cfg.win_samples, cfg.step_samples
+    rng = np.random.default_rng(3)
+    n_e = (win + rng.integers(6, 10, B) * step).astype(np.int32)
+    T = win + (n_win_max - 1) * step
+    eeg = np.zeros((B, 47, T), np.float32)
+    for i, n in enumerate(n_e):
+        eeg[i, :, :n] = rng.standard_normal((47, n))
+    n_a = (n_e * cfg.fs_audio // cfg.fs_eeg).astype(np.int32)
+    audio = np.zeros((B, int(n_a.max())), np.float32)
+    for i, n in enumerate(n_a):
+        audio[i, :n] = rng.standard_normal(n)
+    mis, n_mis = audio[::-1].copy(), n_a[::-1].copy()
+
+    def run(mesh):
+        def put(*xs):
+            if mesh is None:
+                return tuple(jnp.asarray(x) for x in xs)
+            return shard_batch(mesh, *xs)
+
+        mo = audio_h1_program(*put(mis, n_mis), cfg, n_rs_max, n_win_max,
+                              K, aud_chunk=16)
+        out = comparison_program(
+            *put(eeg, n_e, audio, n_a),
+            (mo["h1_b"], mo["h1_d"], mo["h1_m"]), mo["n_win"], mo["degen"],
+            cfg, n_win_max, n_rs_max, K, eeg_chunk=16, aud_chunk=16)
+        return np.array(pack_comparison_outputs(out))
+
+    ref = run(None)
+    for dp in (2, 4):
+        got = run(Mesh(np.array(jax.devices()[:dp]), ("dp",)))
+        np.testing.assert_array_equal(got, ref)
+
+
 def test_sharded_stats_step(tiny_batch):
     from jax.sharding import NamedSharding, PartitionSpec as P
     from scipy import stats as sps
