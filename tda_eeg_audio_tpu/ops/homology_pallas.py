@@ -80,8 +80,8 @@ def _reduce_kernel(mcx_ref, packed_ref, out_ref, col, stored,
     """One window's full cohomology reduction (grid = windows).
 
     mcx_ref: (B,) scalar-prefetch — in-complex edge count per window
-    packed_ref: (1, R_TOT, LANES) int32 — [rank(128) | iu(t) | ju(t) |
-            vstar(t) | app(t) | na(1)] rows, t = g_cap/128
+    packed_ref: (1, R_TOT, LANES) int32 — [rank(128) | iuju(t) | na(1) |
+            app_tile(srows)] rows, t = g_cap/128
     out_ref: (1, 8, LANES) int32 — row 0 = pair keys, row 1 = [steps,
             budget-overflow, ...]
     col:    (g_cap//32, LANES) int32 VMEM scratch — working column bitset
@@ -92,8 +92,8 @@ def _reduce_kernel(mcx_ref, packed_ref, out_ref, col, stored,
     srows = g_cap // 32
     t_srows = g_cap // LANES
     OFF_IUJU = LANES       # iu*128 + ju, one table row set instead of two
-    OFF_AV = OFF_IUJU + t_srows   # apparent ? vstar : -1, ditto
-    OFF_NA = OFF_AV + t_srows
+    OFF_NA = OFF_IUJU + t_srows
+    OFF_APPT = OFF_NA + 1         # apparent-key bit tile, srows rows
     m_cx = mcx_ref[pl.program_id(0)]
 
     s_iota = jax.lax.broadcasted_iota(jnp.int32, (srows, LANES), 0)
@@ -142,18 +142,29 @@ def _reduce_kernel(mcx_ref, packed_ref, out_ref, col, stored,
                 ^ jnp.where(l_iota == j_g, bits_i, 0)
                 ^ jnp.where(l_iota == i_g, bits_j, 0))
 
+    # apparent-pair key bit tile (built in XLA by the wrapper, shipped in
+    # the packed block): bit g%32 of [g//32, v] set iff edge g is apparent
+    # with vstar == v.  Lets the per-step apparent check ride a second
+    # min-reduce over the SAME working tile instead of a table gather that
+    # depends on the pivot scalar (see body()).
+    app_tile = packed_ref[0, OFF_APPT:OFF_APPT + srows, :]
+
     def pivot():
-        """Min key g*LANES + v of the working column; >= BIG if empty.
+        """(min key, APP-masked min key) of the working column; BIG if none.
 
         ONE lexicographic min-reduce (min over g*128+v == (g, v) order)
         instead of per-lane g-min → global g-min → lane-min: two fewer
-        reduce + vector→scalar round trips on the per-step dependent chain."""
+        reduce + vector→scalar round trips on the per-step dependent
+        chain.  The second (apparent-masked) min shares the prepared key
+        tile, so the apparent check costs one independent reduce instead
+        of a dependent gather."""
         c = col[:]
         nz = c != 0
         low = c & (-c)                               # lowest set bit (2's-compl)
         tz = jax.lax.population_count(low - one)
         key_t = jnp.where(nz, (s_iota * 32 + tz) * LANES + l_iota, BIG)
-        return jnp.min(key_t)
+        key_a = jnp.where((low & app_tile) != 0, key_t, BIG)
+        return jnp.min(key_t), jnp.min(key_a)
 
     out_ref[0, 0, :] = jnp.full((LANES,), -1, jnp.int32)
     out_ref[0, 1, :] = jnp.zeros((LANES,), jnp.int32)
@@ -178,18 +189,22 @@ def _reduce_kernel(mcx_ref, packed_ref, out_ref, col, stored,
 
         def body(carry):
             cur, active, steps = carry
-            key = pivot()
+            key, key_app = pivot()
             nonzero = key < BIG
             key = jnp.where(nonzero, key, -1)
             g_s = jnp.where(nonzero, key // LANES, 0)
-            v_p = key - g_s * LANES
-            # apparent ? vstar : -1 in ONE gather; -1 never equals a lane
-            own_app = nonzero & (tgather(OFF_AV, g_s) == v_p)
+            # the pivot is apparent iff the APP-masked min hits the same
+            # key: one more reduce over a tile already in registers,
+            # replacing the old tgather(OFF_AV, g_s) whose input DEPENDED
+            # on the pivot scalar (a serial reduce->scalar->reduce chain);
+            # the two mins share col and run independently
+            own_app = nonzero & (key_app == key)
             prior = out_ref[0, 0, :][None]               # (1, LANES)
             match = (prior == key) & nonzero
-            own_na = jnp.any(match) & ~own_app
-            slot = jnp.minimum(jnp.min(jnp.where(match, lane1, na_max)),
-                               na_max - 1)
+            # single reduce: min matching lane, na_max when none
+            slot_raw = jnp.min(jnp.where(match, lane1, na_max))
+            own_na = (slot_raw < na_max) & ~own_app
+            slot = jnp.minimum(slot_raw, na_max - 1)
             claimed = own_app | own_na
 
             # XOR step: cancel the pivot against its owner's column
@@ -263,11 +278,14 @@ def h1_diagrams_pallas(dm: jnp.ndarray, n_pts: jnp.ndarray | None = None, *,
     g_slice = min(g_cap, m)
 
     # ---- ONE packed per-window operand block (single input DMA/step) ----
-    # iu/ju ride one table as iu*128+ju; apparent/vstar as (app ? vstar : -1)
-    # — halves the rank-indexed table rows (DMA bytes) and, more important,
-    # halves the tile-reduce + vector→scalar gathers on the kernel's
-    # per-step dependent chain
-    r_used = LANES + 2 * t_srows + 1
+    # iu/ju ride one table as iu*128+ju.  The apparent-pair check ships as
+    # a (srows, LANES) KEY BIT TILE (bit g%32 of [g//32, vstar[g]] set iff
+    # edge g is apparent) instead of a rank-indexed table: the kernel then
+    # answers "is the pivot apparent" with a second min-reduce over the
+    # already-prepared key tile rather than a table gather whose input
+    # depends on the pivot scalar — one fewer serial reduce→scalar→reduce
+    # round trip on EVERY reduction step.
+    r_used = LANES + t_srows + 1 + srows
     r_tot = -(-r_used // 8) * 8
     packed = jnp.full((B, r_tot, LANES), BIG, jnp.int32)
     packed = packed.at[:, :n, :n].set(ph["rank_mat"])
@@ -278,13 +296,25 @@ def h1_diagrams_pallas(dm: jnp.ndarray, n_pts: jnp.ndarray | None = None, *,
             x[:, :g_slice].astype(jnp.int32)).reshape(B, t_srows, LANES)
 
     iuju = ph["iu_r"].astype(jnp.int32) * LANES + ph["ju_r"].astype(jnp.int32)
-    appvs = jnp.where(ph["apparent_r"], ph["vstar_r"].astype(jnp.int32), -1)
     off = LANES
-    for x, fill in ((iuju, 0), (appvs, -1)):
-        packed = packed.at[:, off:off + t_srows, :].set(table(x, fill))
-        off += t_srows
+    packed = packed.at[:, off:off + t_srows, :].set(table(iuju, 0))
+    off += t_srows
     na_row = jnp.full((B, LANES), -1, jnp.int32).at[:, :na_eff].set(na_list)
     packed = packed.at[:, off, :].set(na_row)
+    off += 1
+    # apparent-key bit tile, built batched in XLA (32 fused masked-or
+    # passes over (B, srows, LANES) — ~no cost next to the reduction)
+    vs = jnp.full((B, g_cap), -1, jnp.int32).at[:, :g_slice].set(
+        jnp.where(ph["apparent_r"], ph["vstar_r"].astype(jnp.int32),
+                  -1)[:, :g_slice])
+    vs3 = vs.reshape(B, srows, 32)
+    lane = jnp.arange(LANES, dtype=jnp.int32)[None, None, :]
+    appt = jnp.zeros((B, srows, LANES), jnp.uint32)
+    for k in range(32):
+        appt = appt | jnp.where(vs3[:, :, k][:, :, None] == lane,
+                                jnp.uint32(1) << k, jnp.uint32(0))
+    packed = packed.at[:, off:off + srows, :].set(
+        jax.lax.bitcast_convert_type(appt, jnp.int32))
     mcx = ph["m_cx"].astype(jnp.int32)                    # (B,) scalar prefetch
 
     kernel = functools.partial(_reduce_kernel, g_cap=g_cap, na_max=na_max,
