@@ -365,6 +365,39 @@ def _pair_select_program(dist, aud_use_idx, aud_n_win, K: int, n_win_max: int):
     return sel_dm.reshape(B, N_BANDS * K, n, n), kmask, n_pair
 
 
+@partial(jax.jit, static_argnames=("cfg", "K", "n_win_max"))
+def _pair_distance_program(eeg, n_samples, aud_use_idx, aud_n_win,
+                           cfg: PipelineConfig, K: int, n_win_max: int):
+    """Banded windows → select the ≤K paired windows → correlation distance.
+
+    The paired index set is a linspace over n_pair = min(eeg, audio) window
+    COUNTS (reference tda_eeg_audio_comparison.py:72-80) — it never depends
+    on signal content — so the correlation/distance matmuls run on the K
+    selected windows only, not all n_win_max (~6× less corr work than
+    selecting after eeg_distance_program).  Same outputs as
+    _pair_select_program on the selected windows, bit for bit."""
+    B = eeg.shape[0]
+    wins, _ = _banded_windows(eeg, n_samples, cfg, n_win_max)
+    use_idx = jnp.clip(aud_use_idx, 0, n_win_max - 1)
+    sel_w = jnp.take_along_axis(
+        wins, use_idx[:, None, :, None, None], axis=2)    # (B,5,K,C,win)
+    corr = tgeo.correlation_matrix(sel_w)
+    dist = tgeo.correlation_to_distance(corr, cfg.distance_method)
+    n_pair = aud_n_win.astype(jnp.int32)
+    k = jnp.arange(K, dtype=jnp.int32)
+    kmask = k[None, :] < jnp.minimum(n_pair, K)[:, None]          # (B, K)
+    n = dist.shape[-1]
+    return dist.reshape(B, N_BANDS * K, n, n), kmask, n_pair
+
+
+@jax.jit
+def window_count_program(n_samples, win: int, step: int, t_pad: int):
+    """Window count from recording length alone — matches _banded_windows'
+    wmask sum (window w valid iff w·step + win ≤ n_samples)."""
+    n = jnp.minimum(n_samples.astype(jnp.int32), t_pad)
+    return jnp.maximum((n - win) // step + 1, 0)
+
+
 def _h0_pack(out):
     d = jnp.where(jnp.isfinite(out["h0_deaths"]), out["h0_deaths"], 0.0)
     return jnp.zeros_like(d), d, out["h0_mask"]
@@ -536,16 +569,18 @@ def comparison_program(eeg, n_e, audio, n_a, mis_h1, mis_n_win, mis_degen,
     Dispatches are async, so the host loop costs ~nothing.
     """
     B = eeg.shape[0]
-    dist, _, wmask_e = eeg_distance_program(eeg, n_e, cfg, n_win_max)
-    n_win_e = jnp.sum(wmask_e, axis=-1).astype(jnp.int32)
+    n_win_e = window_count_program(n_e, cfg.win_samples, cfg.step_samples,
+                                   eeg.shape[-1])
     # own audio subsamples over n_pair = min(audio, eeg); ONE index set is
     # drawn inside the audio program and reused for the EEG side below
-    # (reference tda_eeg_audio_comparison.py:72-80)
+    # (reference tda_eeg_audio_comparison.py:72-80).  The EEG side then
+    # filters/windows/correlates ONLY the selected windows — the index set
+    # depends on window counts alone, never on signal content
     aud = audio_takens_program(audio, n_a, cfg, n_rs_max, n_win_max, K,
                                n_win_cap=n_win_e)
 
-    sel_e, kmask, n_pair = _pair_select_program(
-        dist, aud["use_idx"], aud["n_win"], K, n_win_max)
+    sel_e, kmask, n_pair = _pair_distance_program(
+        eeg, n_e, aud["use_idx"], aud["n_win"], cfg, K, n_win_max)
     n = sel_e.shape[-1]
     # EEG H1 diagrams: na_max 96 (measured ≤ 49 visible bars on study
     # windows; overflow still flags) — the smaller pad width shrinks the

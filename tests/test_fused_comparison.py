@@ -254,3 +254,45 @@ def test_fused_rows_match_staged_reduced():
 @slow
 def test_fused_rows_match_staged():
     _fused_vs_staged(DEFAULT_CONFIG)
+
+
+def test_pair_distance_matches_pair_select():
+    """_pair_distance_program (filter→select→corr on the K paired windows
+    only) must equal the select-after-distance spec (_pair_select_program
+    over eeg_distance_program) bit for bit — the index set depends only on
+    window counts, so early selection is a pure work reduction."""
+    from tda_eeg_audio_tpu.models.programs import (
+        _pair_distance_program, _pair_select_program, eeg_distance_program,
+        window_count_program)
+
+    cfg = dataclasses.replace(DEFAULT_CONFIG, window_sec=0.2, fir_numtaps=101)
+    B, n_win_max, K = 3, 12, 5
+    win, step = cfg.win_samples, cfg.step_samples
+    rng = np.random.default_rng(7)
+    n_e = (win + rng.integers(4, 11, B) * step).astype(np.int32)
+    T = win + (n_win_max - 1) * step
+    eeg = np.zeros((B, 47, T), np.float32)
+    for i, n in enumerate(n_e):
+        eeg[i, :, :n] = rng.standard_normal((47, n))
+    # audio-program index sets: linspace over n_pair (here: a mix of
+    # fewer-than-K, exactly-K and clipped counts)
+    n_pair = np.array([3, 5, 9], np.int32)
+    use_idx = np.zeros((B, K), np.int32)
+    for i, npr in enumerate(n_pair):
+        sel = np.linspace(0, npr - 1, min(npr, K), dtype=int)
+        use_idx[i, : len(sel)] = sel
+
+    e, ne, ui, npair = (jnp.asarray(eeg), jnp.asarray(n_e),
+                        jnp.asarray(use_idx), jnp.asarray(n_pair))
+    nwc = np.array(window_count_program(ne, win, step, T))
+    np.testing.assert_array_equal(
+        nwc, np.maximum((n_e - win) // step + 1, 0))
+
+    dist, _, wmask = eeg_distance_program(e, ne, cfg, n_win_max)
+    ref_sel, ref_kmask, ref_np = _pair_select_program(
+        dist, ui, npair, K, n_win_max)
+    got_sel, got_kmask, got_np = _pair_distance_program(
+        e, ne, ui, npair, cfg, K, n_win_max)
+    np.testing.assert_array_equal(np.array(got_kmask), np.array(ref_kmask))
+    np.testing.assert_array_equal(np.array(got_np), np.array(ref_np))
+    np.testing.assert_array_equal(np.array(got_sel), np.array(ref_sel))
