@@ -172,13 +172,39 @@ def eeg_feature_program(eeg: jnp.ndarray, n_samples: jnp.ndarray,
     agg = agg.reshape(B, N_BANDS, 2, 11, 2)
     if not return_dm0:
         return agg, ovf
-    # window-0 distance matrix per band for host-side runtime validation —
-    # the reference validates distance_matrices[0] of each band at runtime
-    # and persists issues into per-file metadata (C14;
-    # tda_eeg_classification_v2.py:376-382)
+    # window-0 distance-matrix DIAGNOSTICS per band for host-side runtime
+    # validation — the reference validates distance_matrices[0] of each
+    # band at runtime and persists issues into per-file metadata (C14;
+    # tda_eeg_classification_v2.py:376-382).  The 8 scalars per matrix
+    # (utils/validation.py issues_from_diagnostics) replace the (B,5,n,n)
+    # matrices in the readback: ~64 MB → ~170 KB over the full study on
+    # this deployment's 30-115 MB/s link.
     corr0 = tgeo.correlation_matrix(wins[:, :, 0])            # (B, 5, n, n)
     dm0 = tgeo.correlation_to_distance(corr0, cfg.distance_method)
-    return agg, dm0, ovf
+    return agg, _dm_diagnostics(dm0), ovf
+
+
+def _dm_diagnostics(dm: jnp.ndarray) -> jnp.ndarray:
+    """(..., n, n) → (..., 8) [sym_bad, max_asym, neg_bad, min_val,
+    diag_bad, max_abs_diag, has_nan, has_inf] — device twin of
+    utils.validation.matrix_diagnostics (same tolerances as the
+    reference's validate_distance_matrix, tda_eeg_classification_v2.py:
+    110-140); NaN propagates through the maxima exactly as numpy's."""
+    dmt = jnp.swapaxes(dm, -1, -2)
+    ad = jnp.abs(dm - dmt)
+    # (dm == dmt) escape: np.allclose treats equal infs as close, while
+    # inf - inf is NaN in the difference
+    sym_ok = jnp.all((dm == dmt) | (ad <= 1e-8 + 1e-5 * jnp.abs(dmt)),
+                     axis=(-1, -2))
+    diag = jnp.diagonal(dm, axis1=-2, axis2=-1)
+    diag_ok = jnp.all(jnp.abs(diag) <= 1e-10, axis=-1)
+    min_val = jnp.min(dm, axis=(-1, -2))
+    f = lambda b: b.astype(jnp.float32)
+    return jnp.stack([
+        f(~sym_ok), jnp.max(ad, axis=(-1, -2)), f(min_val < -1e-10),
+        min_val, f(~diag_ok), jnp.max(jnp.abs(diag), axis=-1),
+        f(jnp.any(jnp.isnan(dm), axis=(-1, -2))),
+        f(jnp.any(jnp.isinf(dm), axis=(-1, -2)))], axis=-1)
 
 
 def recording_features(dist: jnp.ndarray, use_idx: jnp.ndarray,
@@ -663,22 +689,22 @@ def unpack_comparison_outputs(flat: np.ndarray, B: int) -> dict:
 
 
 @jax.jit
-def pack_feature_outputs(agg, dm0, ovf):
+def pack_feature_outputs(agg, diag, ovf):
     """eeg_feature_program outputs → one flat f32 vector per batch."""
     return jnp.concatenate([jnp.ravel(agg).astype(jnp.float32),
-                            jnp.ravel(dm0).astype(jnp.float32),
+                            jnp.ravel(diag).astype(jnp.float32),
                             jnp.ravel(ovf).astype(jnp.float32)])
 
 
-def unpack_feature_outputs(flat: np.ndarray, B: int, n: int = 47):
-    """(agg (B,5,2,11,2), dm0 (B,5,n,n), ovf (B,) bool) from the packed
+def unpack_feature_outputs(flat: np.ndarray, B: int):
+    """(agg (B,5,2,11,2), diag (B,5,8), ovf (B,) bool) from the packed
     vector."""
     n_agg = B * N_BANDS * 2 * 11 * 2
-    n_dm = B * N_BANDS * n * n
+    n_dg = B * N_BANDS * 8
     agg = flat[:n_agg].reshape(B, N_BANDS, 2, 11, 2)
-    dm0 = flat[n_agg:n_agg + n_dm].reshape(B, N_BANDS, n, n)
-    ovf = flat[n_agg + n_dm:n_agg + n_dm + B] > 0.5
-    return agg, dm0, ovf
+    diag = flat[n_agg:n_agg + n_dg].reshape(B, N_BANDS, 8)
+    ovf = flat[n_agg + n_dg:n_agg + n_dg + B] > 0.5
+    return agg, diag, ovf
 
 
 # ─────────────────────────────────────────────────────────────────────────────

@@ -363,16 +363,17 @@ class StudyRunner:
                 off = 0
                 for packed, idxs_ in pending:
                     n = packed.shape[0]
-                    agg, dm0, ovf = programs.unpack_feature_outputs(
+                    agg, diag, ovf = programs.unpack_feature_outputs(
                         flat[off:off + n], self.eeg_batch)
                     off += n
                     done.append((agg[: len(idxs_)].copy(),
-                                 dm0[: len(idxs_)], ovf[: len(idxs_)], idxs_))
+                                 diag[: len(idxs_)], ovf[: len(idxs_)],
+                                 idxs_))
             else:
                 for out, idxs_ in pending:
-                    agg, dm0, ovf = out
+                    agg, diag, ovf = out
                     done.append((np.asarray(agg)[: len(idxs_)],
-                                 np.asarray(dm0)[: len(idxs_)],
+                                 np.asarray(diag)[: len(idxs_)],
                                  np.asarray(ovf)[: len(idxs_)], idxs_))
             pending.clear()
 
@@ -405,12 +406,12 @@ class StudyRunner:
                         [use_idx, np.zeros((padn, N_BANDS, K), np.int32)])
                     use_mask = np.concatenate(
                         [use_mask, np.zeros((padn, N_BANDS, K), bool)])
-                agg_dev, dm0_dev, ovf_dev = programs.eeg_feature_program(
+                agg_dev, diag_dev, ovf_dev = programs.eeg_feature_program(
                     self._put(eeg), self._put(ns_e),
                     self._put(use_idx), self._put(use_mask),
                     cfg, N_WIN_MAX, K, chunk=self.tda_chunk, return_dm0=True)
                 pending.append((programs.pack_feature_outputs(
-                    agg_dev, dm0_dev, ovf_dev), idxs))
+                    agg_dev, diag_dev, ovf_dev), idxs))
                 if len(pending) >= 4:     # bound in-flight device memory
                     pending[-4][0].block_until_ready()
             else:
@@ -425,9 +426,10 @@ class StudyRunner:
                 from ..ops.features import aggregate_mean_std
                 agg = np.array(aggregate_mean_std(
                     jnp.asarray(feats), jnp.asarray(use_mask)))
-                dm0 = np.array(dist[:, :, 0])                 # (B, 5, 47, 47)
+                from ..utils.validation import matrix_diagnostics
+                diag = matrix_diagnostics(np.array(dist[:, :, 0]))  # (B,5,8)
                 # staged run_tda already host-falls-back overflow windows
-                pending.append(((agg.reshape(B, N_BANDS, 2, 11, 2), dm0,
+                pending.append(((agg.reshape(B, N_BANDS, 2, 11, 2), diag,
                                  np.zeros(B, bool)), idxs))
             if self.verbose:
                 el = time.time() - t0
@@ -435,9 +437,9 @@ class StudyRunner:
                       f"recordings dispatched ({el:.0f}s)")
 
         drain_all()
-        from ..utils.validation import validate_distance_matrix
+        from ..utils.validation import issues_from_diagnostics
         file_metadata = []
-        for agg, dm0, ovf, idxs in done:
+        for agg, diag, ovf, idxs in done:
             # overflow recordings (na_max/step budget exceeded in the fused
             # kernel — none observed at study sizes): recompute via the
             # staged path, whose run_tda reroutes flagged windows to the
@@ -462,9 +464,9 @@ class StudyRunner:
                 # metadata (C14/C19; tda_eeg_classification_v2.py:338-442)
                 issues = []
                 for bd, band in enumerate(BAND_NAMES):
-                    ok, iss = validate_distance_matrix(dm0[bi_, bd],
-                                                       f"{band}[0]")
-                    issues.extend(f"{band}: {x}" for x in iss)
+                    issues.extend(
+                        f"{band}: {x}"
+                        for x in issues_from_diagnostics(diag[bi_, bd]))
                 nw = counts[i]
                 used = min(K, nw)
                 file_metadata.append(dict(

@@ -12,7 +12,8 @@ from __future__ import annotations
 
 import numpy as np
 
-__all__ = ["validate_distance_matrix"]
+__all__ = ["validate_distance_matrix", "matrix_diagnostics",
+           "issues_from_diagnostics"]
 
 
 def validate_distance_matrix(dm: np.ndarray, name: str = ""):
@@ -44,3 +45,52 @@ def validate_distance_matrix(dm: np.ndarray, name: str = ""):
     if np.any(np.isinf(dm)):
         issues.append("contains Inf values")
     return len(issues) == 0, issues
+
+
+# ---- diagnostics-vector form of the same checks ----
+# The fused feature program computes these 8 scalars per window-0 matrix ON
+# DEVICE (models/programs.py _dm_diagnostics) so the (B, 5, 47, 47) matrices
+# never cross the host link (~64 MB per study); the host rebuilds the exact
+# validate_distance_matrix issue strings from the vector.
+
+def matrix_diagnostics(dm: np.ndarray) -> np.ndarray:
+    """(..., n, n) → (..., 8) diagnostics [sym_bad, max_asym, neg_bad,
+    min_val, diag_bad, max_abs_diag, has_nan, has_inf] — the numpy twin of
+    the device computation, used by the staged path so both paths feed
+    issues_from_diagnostics identically."""
+    dm = np.asarray(dm, np.float32)
+    dmt = np.swapaxes(dm, -1, -2)
+    with np.errstate(invalid="ignore"):
+        ad = np.abs(dm - dmt)
+        # (dm == dmt) escape: np.allclose treats equal infs as close,
+        # while inf - inf is NaN in the difference
+        sym_ok = np.all((dm == dmt) | (ad <= 1e-8 + 1e-5 * np.abs(dmt)),
+                        axis=(-1, -2))
+        diag = np.diagonal(dm, axis1=-2, axis2=-1)
+        diag_ok = np.all(np.abs(diag) <= 1e-10, axis=-1)
+        min_val = np.min(dm, axis=(-1, -2))
+        neg_bad = min_val < -1e-10
+    return np.stack([
+        (~sym_ok).astype(np.float32), np.max(ad, axis=(-1, -2)),
+        neg_bad.astype(np.float32), min_val,
+        (~diag_ok).astype(np.float32),
+        np.max(np.abs(diag), axis=-1),
+        np.any(np.isnan(dm), axis=(-1, -2)).astype(np.float32),
+        np.any(np.isinf(dm), axis=(-1, -2)).astype(np.float32)], axis=-1)
+
+
+def issues_from_diagnostics(d) -> list[str]:
+    """Issue strings from a diagnostics vector — same checks, tolerances
+    and formats as validate_distance_matrix on the matrix itself."""
+    issues: list[str] = []
+    if d[0]:
+        issues.append(f"not symmetric: max asymmetry={float(d[1]):.6f}")
+    if d[2]:
+        issues.append(f"negative values present: min={float(d[3]):.6f}")
+    if d[4]:
+        issues.append(f"nonzero diagonal: max={float(d[5]):.6f}")
+    if d[6]:
+        issues.append("contains NaN values")
+    if d[7]:
+        issues.append("contains Inf values")
+    return issues

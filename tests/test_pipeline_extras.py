@@ -144,6 +144,43 @@ def test_validate_distance_matrix():
     assert not ok and any("square" in s for s in issues)
 
 
+def test_diagnostics_vector_matches_matrix_validation():
+    """The device/host diagnostics-vector path (what the fused feature
+    program ships instead of the (B,5,n,n) window-0 matrices) must rebuild
+    the exact validate_distance_matrix issue strings, and the jnp device
+    twin must match the numpy twin."""
+    import jax.numpy as jnp
+
+    from tda_eeg_audio_tpu.models.programs import _dm_diagnostics
+    from tda_eeg_audio_tpu.utils.validation import (
+        issues_from_diagnostics, matrix_diagnostics,
+        validate_distance_matrix)
+
+    rng = np.random.default_rng(1)
+    a = rng.uniform(0.1, 1.0, (6, 6)).astype(np.float32)
+    good = ((a + a.T) / 2); np.fill_diagonal(good, 0.0)
+    cases = [good]
+    for mut in ("asym", "neg", "diag", "nan", "inf"):
+        m = good.copy()
+        if mut == "asym":
+            m[0, 1] += 0.5
+        elif mut == "neg":
+            m[0, 1] = m[1, 0] = -0.3
+        elif mut == "diag":
+            np.fill_diagonal(m, 0.1)
+        elif mut == "nan":
+            m[2, 3] = m[3, 2] = np.nan
+        else:
+            m[1, 4] = m[4, 1] = np.inf
+        cases.append(m)
+    for m in cases:
+        _, ref_issues = validate_distance_matrix(np.float32(m))
+        d_np = matrix_diagnostics(m)
+        assert issues_from_diagnostics(d_np) == ref_issues, m
+        d_dev = np.array(_dm_diagnostics(jnp.asarray(m)))
+        assert issues_from_diagnostics(d_dev) == ref_issues, m
+
+
 class _CorruptDataset:
     """Wraps a dataset; load(i) raises for one chosen index."""
 
