@@ -543,9 +543,9 @@ class StudyRunner:
         Bp = max(self.eeg_batch, B)
         eeg, audio, ns_e, ns_a, metas = self._load_batch(idxs, pad_to=Bp)
         cfg = self.cfg
-        dist, _, wmask_e = programs.eeg_distance_program(
-            jnp.asarray(eeg), jnp.asarray(ns_e), cfg, N_WIN_MAX)
-        n_win_e = np.array(jnp.sum(wmask_e, axis=-1)).astype(np.int32)
+        n_win_e = np.array(programs.window_count_program(
+            jnp.asarray(ns_e), cfg.win_samples, cfg.step_samples,
+            eeg.shape[-1]))
         aud = programs.audio_takens_program(
             jnp.asarray(audio), jnp.asarray(ns_a), cfg, N_RS_MAX, N_WIN_MAX,
             K_CMP, n_win_cap=jnp.asarray(n_win_e))
@@ -557,8 +557,11 @@ class StudyRunner:
         k = np.arange(K_CMP)
         kmask = k[None, :] < n_pair[:, None]
 
-        sel_dm = jnp.take_along_axis(
-            dist, jnp.asarray(use_idx)[:, None, :, None, None], axis=2)
+        # correlate the <=K selected windows only (the index set depends
+        # on window counts alone — see _pair_distance_program)
+        sel_dm, _, _ = programs._pair_distance_program(
+            jnp.asarray(eeg), jnp.asarray(ns_e), jnp.asarray(use_idx),
+            aud["n_win"], cfg, K_CMP, N_WIN_MAX)
         NW = N_BANDS * K_CMP
         eeg_dm = sel_dm.reshape(Bp * NW, 47, 47)[: B * NW]   # device-resident
         eeg_out = homology_exec.run_tda(eeg_dm, cfg.max_edge_length,
@@ -589,16 +592,18 @@ class StudyRunner:
         Bp = max(self.eeg_batch, B)
         eeg, audio, ns_e, ns_a, metas = self._load_batch(idxs, pad_to=Bp)
         cfg = self.cfg
-        dist, _, wmask_e = programs.eeg_distance_program(
-            jnp.asarray(eeg), jnp.asarray(ns_e), cfg, N_WIN_MAX)
-        n_win_e = np.array(jnp.sum(wmask_e, axis=-1)).astype(np.int64)
-        use_idx = np.zeros((Bp, K_CMP), np.int64)
+        n_win_e = np.array(programs.window_count_program(
+            jnp.asarray(ns_e), cfg.win_samples, cfg.step_samples,
+            eeg.shape[-1])).astype(np.int64)
+        use_idx = np.zeros((Bp, K_CMP), np.int32)
         for bi in range(B):
             sel = _ref_linspace_idx(int(n_win_e[bi]), K_CMP)
             use_idx[bi, : len(sel)] = sel
         NW = N_BANDS * K_CMP
-        sel_dm = jnp.take_along_axis(
-            dist, jnp.asarray(use_idx)[:, None, :, None, None], axis=2)
+        # correlate the <=K selected windows only (own-count selection)
+        sel_dm, _, _ = programs._pair_distance_program(
+            jnp.asarray(eeg), jnp.asarray(ns_e), jnp.asarray(use_idx),
+            jnp.asarray(n_win_e.astype(np.int32)), cfg, K_CMP, N_WIN_MAX)
         eeg_dm = sel_dm.reshape(Bp * NW, 47, 47)[: B * NW]   # device-resident
         eeg_out = homology_exec.run_tda(eeg_dm, cfg.max_edge_length,
                                         self.backend, self.tda_chunk,
