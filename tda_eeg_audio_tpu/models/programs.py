@@ -242,16 +242,6 @@ def recording_features(dist: jnp.ndarray, use_idx: jnp.ndarray,
 # ─────────────────────────────────────────────────────────────────────────────
 
 
-@jax.jit
-def _wass_chunk_program(bb1, dd1, mm1, bb2, dd2, mm2):
-    """One Sinkhorn-Wasserstein chunk (persim semantics; build_cost_matrix
-    injects the reference's (0,0) empty-diagram sentinels itself)."""
-    from ..ops.wasserstein import build_cost_matrix, sinkhorn_cost_stab
-
-    D = build_cost_matrix(bb1, dd1, mm1, bb2, dd2, mm2)
-    return sinkhorn_cost_stab(D)
-
-
 def _wass_h0_exact_chunked(d1, m1, d2, m2, chunk=2048):
     """Exact H0 Wasserstein (monotone-matching DP) over device-resident
     death arrays — see ops.wasserstein.wasserstein_h0_exact."""
@@ -269,26 +259,6 @@ def _wass_h0_exact_chunked(d1, m1, d2, m2, chunk=2048):
                     [blk, jnp.zeros((chunk - (end - c), v.shape[1]), v.dtype)])
             args.append(blk)
         outs.append(wasserstein_h0_exact(*args)[: end - c])
-    return jnp.concatenate(outs)
-
-
-def _wass_sinkhorn_chunked(b1, d1, m1, b2, d2, m2, chunk=512):
-    """Batched persim-cost Sinkhorn over (N, K1)/(N, K2) padded diagrams.
-
-    Python-chunked over device-resident arrays (async dispatches of one
-    cached executable)."""
-    N = b1.shape[0]
-    outs = []
-    for c in range(0, N, chunk):
-        end = min(c + chunk, N)
-        args = []
-        for v in (b1, d1, m1, b2, d2, m2):
-            blk = v[c:end]
-            if end - c < chunk:
-                blk = jnp.concatenate(
-                    [blk, jnp.zeros((chunk - (end - c), v.shape[1]), v.dtype)])
-            args.append(blk)
-        outs.append(_wass_chunk_program(*args)[: end - c])
     return jnp.concatenate(outs)
 
 
