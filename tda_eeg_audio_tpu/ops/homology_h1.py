@@ -402,17 +402,19 @@ def h1_diagrams(dm: jnp.ndarray, n_pts: jnp.ndarray | None = None, *, n: int,
                                 colv_j[:, :, None], jnp.uint32(0)))
 
         def first_set_bit_gv(col):
+            """ONE lexicographic min over key = g·n + v ((g, v) order, like
+            the Pallas kernel's pivot) instead of per-lane g-min → global
+            g-min → lane-min: one fused reduce per iteration, not three."""
             nz = col != 0
             low = col & (~col + jnp.uint32(1))
             tz = jax.lax.population_count(
                 low - jnp.uint32(1)).astype(jnp.int32)
-            g_val = jnp.where(nz, gw_iota[None, :, None] * 32 + tz, BIG)
-            g_ln = jnp.min(g_val, axis=1)                   # (B, n)
-            g_min = jnp.min(g_ln, axis=1)                   # (B,)
-            any_ = g_min < BIG
-            v_min = jnp.min(jnp.where(g_ln == g_min[:, None],
-                                      varange[None, :], BIG), axis=1)
-            return jnp.where(any_, g_min * n + v_min, -1), any_
+            key_t = jnp.where(
+                nz, (gw_iota[None, :, None] * 32 + tz) * n
+                + varange[None, None, :], BIG)
+            p = jnp.min(key_t, axis=(1, 2))                 # (B,)
+            any_ = p < BIG
+            return jnp.where(any_, p, -1), any_
 
         cur0 = jnp.zeros((B,), jnp.int32)
         first_edge = na_list[:, 0]
