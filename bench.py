@@ -26,6 +26,65 @@ sys.path.insert(0, str(Path(__file__).resolve().parent))
 import numpy as np
 
 
+def _wait_for_backend(attempts: int = 4, backoff_s: float = 75.0,
+                      probe_timeout_s: float = 240.0):
+    """Block until a JAX backend initializes, retrying transient failures.
+
+    This deployment's axon TPU tunnel has demonstrably gone down mid-round
+    (BENCH_r03: rc=1, `Unable to initialize backend 'axon'`) and has also
+    been observed to HANG on init for 10+ minutes; the bench is the round's
+    only official measurement, so it must fight for its number.  Each
+    attempt therefore probes in a SUBPROCESS with a hard timeout — a hung
+    init cannot stall the parent — and only after a probe succeeds is the
+    in-process backend initialized (at which point the tunnel is known
+    up).  JAX caches a failed in-process init, so that is cleared before
+    re-probing.  Returns the device list, or raises after all attempts.
+    """
+    import subprocess
+
+    import jax
+
+    last = "no attempts made"
+    for attempt in range(attempts):
+        if attempt:
+            time.sleep(backoff_s)
+            try:  # drop any cached in-process init failure
+                from jax._src import xla_bridge
+                xla_bridge._clear_backends()
+            except Exception:
+                pass
+        if attempts > 1:  # multi-attempt mode = real-hardware mode: probe
+            try:
+                r = subprocess.run(
+                    [sys.executable, "-c",
+                     "import jax; print(len(jax.devices()))"],
+                    capture_output=True, timeout=probe_timeout_s, text=True)
+                if r.returncode != 0:
+                    last = (r.stderr or r.stdout).strip()[-400:]
+                    print(f"backend probe {attempt + 1}/{attempts} rc="
+                          f"{r.returncode}: {last}", file=sys.stderr)
+                    continue
+            except subprocess.TimeoutExpired:
+                last = f"backend probe hung > {probe_timeout_s:.0f}s"
+                print(f"backend probe {attempt + 1}/{attempts}: {last}",
+                      file=sys.stderr)
+                continue
+        try:
+            devs = jax.devices()
+            if devs:
+                return devs
+        except Exception as e:
+            last = repr(e)
+            print(f"backend init attempt {attempt + 1}/{attempts} failed: "
+                  f"{e!r}", file=sys.stderr)
+    raise RuntimeError(f"backend unavailable after {attempts} attempts: "
+                       f"{last}")
+
+
+def _emit(payload: dict) -> None:
+    print(json.dumps(payload))
+
+
 def full_study(args) -> None:
     """North-star bench (BASELINE.json): the full study — per-recording
     features (1,416 × 5 bands, EEG Rips H0+H1), EEG↔audio comparison and
@@ -36,40 +95,54 @@ def full_study(args) -> None:
     (BASELINE.json "full study < 60 s") covers diagrams, features and
     Wasserstein tests; the RF permutation fan-out is a host-core-count
     benchmark, not a TPU one (SURVEY §2.2).
+
+    Every failure mode still prints ONE JSON line: backend init is retried
+    with backoff, the dataset ingest lives inside the per-repeat try, and a
+    total failure reports {"value": null, "error": ...} with rc=0 so the
+    driver records something attributable (VERDICT r3 #2).
     """
     import dataclasses
     import tempfile
-    import time
+    import traceback
 
     from tda_eeg_audio_tpu.config import DEFAULT_CONFIG
-    from tda_eeg_audio_tpu.io.device_store import build_synthetic_device
     from tda_eeg_audio_tpu.models.study import StudyRunner
 
     n_subj = 3 if args.smoke else 45
     per = 2 if args.smoke else 16
-    # stage the dataset into HBM before the clock — the study pipeline reads
-    # device-resident slices (io.device_store), so the bench measures the
-    # pipeline, not this deployment's host<->device tunnel
-    t_ingest = time.time()
-    ds = build_synthetic_device(n_subjects=n_subj, n_per_subject=per)
-    import jax
-    jax.block_until_ready((ds.eeg, ds.audio))
-    t_ingest = time.time() - t_ingest
     cfg = dataclasses.replace(DEFAULT_CONFIG, wasserstein_backend="sinkhorn")
-    runs = []
+    runs, checks = [], {}
+    ds = None
+    t_ingest = None
+    last_err = None
     with tempfile.TemporaryDirectory() as td:
         for rep in range(max(args.repeats, 1)):
-            # fresh runner per repeat (drops result caches); compiled device
-            # programs persist, so repeat 2+ is the steady state without
-            # per-process compile-cache deserialization
-            # eeg_batch 16 = the validated fused-program batch (larger
-            # batches quadruple the comparison program's footprint and can
-            # OOM the remote compile helper); throughput comes from the
-            # per-window kernels, not the recording batch dim
-            runner = StudyRunner(ds, cfg, eeg_batch=16,
-                                 tda_chunk=256, results_dir=td, verbose=False)
-            t0 = time.time()
             try:
+                if ds is None:
+                    # backend + HBM ingest inside the loop: a transient
+                    # tunnel outage on attempt 1 must not kill the bench
+                    _wait_for_backend(attempts=1 if args.smoke else 4)
+                    import jax
+                    from tda_eeg_audio_tpu.io.device_store import \
+                        build_synthetic_device
+                    # stage the dataset into HBM before the clock — the
+                    # study reads device-resident slices (io.device_store),
+                    # so the bench measures the pipeline, not the tunnel
+                    t0 = time.time()
+                    ds = build_synthetic_device(
+                        n_subjects=n_subj, n_per_subject=per)
+                    jax.block_until_ready((ds.eeg, ds.audio))
+                    t_ingest = time.time() - t0
+                # fresh runner per repeat (drops result caches); compiled
+                # device programs persist, so repeat 2+ is the steady state
+                # without per-process compile-cache deserialization.
+                # eeg_batch 16 = the validated fused-program batch (larger
+                # batches quadruple the comparison program's footprint and
+                # can OOM the remote compile helper); throughput comes from
+                # the per-window kernels, not the recording batch dim
+                runner = StudyRunner(ds, cfg, eeg_batch=16, tda_chunk=256,
+                                     results_dir=td, verbose=False)
+                t0 = time.time()
                 X, y, subjects, filenames, meta = \
                     runner.compute_feature_dataset()
                 t_feat = time.time() - t0
@@ -82,33 +155,47 @@ def full_study(args) -> None:
             except Exception as e:
                 # the shared worker's tunnel can drop mid-repeat; report
                 # completed repeats rather than dying without a JSON line
-                if not runs:
-                    raise
-                print(f"repeat {rep} aborted ({e!r}); reporting "
-                      f"{len(runs)} completed repeat(s)", file=sys.stderr)
-                break
+                last_err = e
+                traceback.print_exc(file=sys.stderr)
+                print(f"repeat {rep} aborted; {len(runs)} completed "
+                      f"repeat(s) so far", file=sys.stderr)
+                if ds is None:
+                    break  # backend never came up — no point repeating
+                continue
             runs.append(dict(total=round(time.time() - t0, 1),
                              features_s=round(t_feat, 1),
                              compare_s=round(t_cmp, 1),
                              control_s=round(t_ctrl, 1)))
-            assert X.shape[1] == 220
-            assert len(cmp_out["detailed_rows"]) >= len(ds) * 4
+            # sanity checks reported, not asserted — a degraded number with
+            # ok=false beats aborting after minutes of compute
+            checks = {"n_features_220": X.shape[1] == 220,
+                      "rows_complete":
+                          len(cmp_out["detailed_rows"]) >= len(ds) * 4,
+                      "X_shape": list(X.shape)}
+    if not runs:
+        _emit({"metric": "full_study_seconds", "value": None,
+               "unit": "s (features + comparison + control, 5 bands, one chip)",
+               "vs_baseline": None,
+               "error": repr(last_err) if last_err else "no completed runs"})
+        return
     best = min(runs, key=lambda r: r["total"])
     # the headline is the best warm repeat (the worker's throughput varies
     # ±50% run-to-run); the median of all repeats is reported alongside so
     # the variance is on the record (run 1 of a fresh process additionally
     # pays compile-cache deserialization and is visible in `runs`)
     median = float(np.median([r["total"] for r in runs]))
-    print(json.dumps({
+    _emit({
         "metric": "full_study_seconds",
         "value": best["total"],
         "unit": "s (features + comparison + control, 5 bands, one chip)",
         "vs_baseline": round(60.0 / best["total"], 3),
+        "ok": all(v for v in checks.values() if isinstance(v, bool)),
         "detail": {"n_recordings": len(ds), **best,
                    "median_total_s": round(median, 1),
                    "device_ingest_s": round(t_ingest, 1),
-                   "runs": runs, "X": list(X.shape)},
-    }))
+                   "runs": runs, "checks": checks,
+                   "aborted_error": repr(last_err) if last_err else None},
+    })
 
 
 def main() -> None:
@@ -134,7 +221,13 @@ def main() -> None:
     # the headline metric (BASELINE.json north star) is the full-study wall
     # clock; the EEG micro-bench remains behind --eeg-throughput / --smoke
     if args.full_study or not (args.eeg_throughput or args.smoke):
-        full_study(args)
+        try:
+            full_study(args)
+        except BaseException as e:  # last-ditch: never exit without a line
+            if isinstance(e, KeyboardInterrupt):
+                raise
+            print(json.dumps({"metric": "full_study_seconds", "value": None,
+                              "vs_baseline": None, "error": repr(e)}))
         return
 
     import jax

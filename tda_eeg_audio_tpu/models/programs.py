@@ -595,8 +595,17 @@ def comparison_program(eeg, n_e, audio, n_a, mis_h1, mis_n_win, mis_degen,
     _, a0d, a0m = _h0_pack(a_out)
     w_h0 = _wass_h0_exact_chunked(e0d, e0m, a0d, a0m)
     e1 = _h1_pack(e_out)
-    w_h1 = _wass_sinkhorn_tiered(*e1, *_h1_pack(a_out))
-    w_mis = _wass_sinkhorn_tiered(*e1, mis_h1[0], mis_h1[1], mis_h1[2])
+    a1 = _h1_pack(a_out)
+    # ONE tiered Sinkhorn call for matched + mismatched pairs: the combined
+    # size-sort packs both sets' sparse tails into shared narrow-tier chunks
+    # and halves the dispatch count (VERDICT r3 next #1 (ii))
+    n_pairs = e1[0].shape[0]
+    w_both = _wass_sinkhorn_tiered(
+        *(jnp.concatenate([x, x]) for x in e1),
+        jnp.concatenate([a1[0], mis_h1[0]]),
+        jnp.concatenate([a1[1], mis_h1[1]]),
+        jnp.concatenate([a1[2], mis_h1[2]]))
+    w_h1, w_mis = w_both[:n_pairs], w_both[n_pairs:]
 
     out = _comparison_stats_program(
         w_h0, w_h1, w_mis, e_out["features"],

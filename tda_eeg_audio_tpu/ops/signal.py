@@ -9,7 +9,8 @@ Re-designs of the reference's scipy signal chain
     response matches the *zero-phase Butterworth magnitude* |H(ω)|² (filtfilt
     squares the magnitude and cancels the phase).  All 5 bands are applied as
     one grouped convolution → MXU-friendly, fully batched.  This is a declared,
-    tolerance-gated deviation (see tests/test_signal_parity.py).
+    tolerance-gated deviation — waveform gates in tests/test_signal_ops.py,
+    end-to-end diagram/feature/statistics gates in tests/test_fir_parity.py.
   * Hilbert envelope: the reference uses the FFT analytic signal
     (scipy.signal.hilbert) whose definition depends on the full recording
     length — unbatchable under static shapes.  Native path: an odd-length

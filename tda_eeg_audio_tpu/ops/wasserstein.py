@@ -155,10 +155,14 @@ def sinkhorn_cost_stab(D, eps_hi: float = 3e-2, eps_lo: float = 1e-4,
     f = jnp.zeros((B, S, 1))
     g = jnp.zeros((B, 1, S))
     tiny = jnp.float32(1e-38)
+    # iteration-count parity with sinkhorn_cost for ANY (iters, absorb):
+    # full `absorb`-long blocks plus one remainder block (ADVICE r3 #2)
+    blocks = [absorb] * (iters // absorb) + \
+        ([iters % absorb] if iters % absorb else [])
     for s in range(steps):
         eps_rel = eps_hi * (eps_lo / eps_hi) ** (s / (steps - 1))
         eps = (eps_rel * scale)[:, None, None]
-        for _ in range(max(iters // absorb, 1)):
+        for blk in blocks:
             Kt = jnp.exp((f + g - Dm) / eps)
 
             def body(i, uv, Kt=Kt):
@@ -170,7 +174,7 @@ def sinkhorn_cost_stab(D, eps_hi: float = 3e-2, eps_lo: float = 1e-4,
                 return u, v
 
             u, v = jax.lax.fori_loop(
-                0, absorb, body,
+                0, blk, body,
                 (jnp.ones((B, S)), jnp.ones((B, S))))
             f = f + eps * jnp.log(u)[:, :, None]
             g = g + eps * jnp.log(v)[:, None, :]
