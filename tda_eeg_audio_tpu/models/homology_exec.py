@@ -86,9 +86,10 @@ def run_tda(dms, thresh: float, backend: str = "device",
     if backend == "auto":
         from .programs import h1_backend_auto
 
-        backend = "pallas" if h1_backend_auto(n) == "pallas" else "device"
+        routed = h1_backend_auto(n)
+        backend = routed if routed in ("pallas", "grouped") else "device"
 
-    if backend == "pallas":
+    if backend in ("pallas", "grouped"):
         import jax
 
         if jax.default_backend() != "tpu":
@@ -105,6 +106,15 @@ def run_tda(dms, thresh: float, backend: str = "device",
                 blk, npts, n=n, thresh=thresh,
                 na_max=min(na_max, PALLAS_NA_MAX), h1_max=na_max,
                 step_budget=max(step_budget, 8192))
+    elif backend == "grouped":
+        from ..ops.homology_pallas import h1_diagrams_pallas_grouped
+        from .programs import GROUPED_NA_MAX, GROUPED_SIZE
+
+        def h1_call(blk, npts):
+            return h1_diagrams_pallas_grouped(
+                blk, npts, n=n, thresh=thresh,
+                na_max=min(na_max, GROUPED_NA_MAX), h1_max=na_max,
+                step_budget=max(step_budget, 8192), group=GROUPED_SIZE)
     else:
         from ..ops.homology_h1 import h1_diagrams
 

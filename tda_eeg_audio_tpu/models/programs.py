@@ -80,18 +80,38 @@ def eeg_distance_program(eeg: jnp.ndarray, n_samples: jnp.ndarray,
     return dist, corr, wmask
 
 
-@partial(jax.jit, static_argnames=("thresh", "na_max", "h1_max", "step_budget"))
+@partial(jax.jit, static_argnames=("thresh", "na_max", "h1_max", "step_budget",
+                                   "backend"))
 def window_tda_features(dm: jnp.ndarray, thresh: float = 2.0, na_max: int = 128,
-                        h1_max: int = 128, step_budget: int = 4096):
+                        h1_max: int = 128, step_budget: int = 4096,
+                        backend: str = "auto"):
     """(B, 47, 47) distance matrices → (B, 2, 11) H0/H1 features + diagrams.
 
     Implements the reference per-window step: compute_persistence_diagram +
     extract_persistence_features for H0 and H1
     (reference scripts/tda_eeg_classification_v2.py:407-419).
+
+    backend: "auto" resolves via h1_backend_auto at trace time — the
+    grouped-segmented Pallas kernel on TPU when enabled, the portable XLA
+    lockstep otherwise.
     """
     n = dm.shape[-1]
-    out = h1_diagrams(dm, n=n, thresh=thresh, na_max=na_max, h1_max=h1_max,
-                      step_budget=step_budget)
+    if backend == "auto":
+        backend = h1_backend_auto(n)
+    if backend == "grouped":
+        import jax as _jax
+
+        if _jax.default_backend() != "tpu":
+            backend = "bitset"
+    if backend == "grouped":
+        from ..ops.homology_pallas import h1_diagrams_pallas_grouped
+
+        out = h1_diagrams_pallas_grouped(
+            dm, n=n, thresh=thresh, na_max=min(na_max, GROUPED_NA_MAX),
+            h1_max=h1_max, step_budget=step_budget, group=GROUPED_SIZE)
+    else:
+        out = h1_diagrams(dm, n=n, thresh=thresh, na_max=na_max,
+                          h1_max=h1_max, step_budget=step_budget)
     # H0: finite deaths from the in-kernel MST; one essential class per
     # component (EEG windows are connected at thresh → exactly 1)
     n_comp = (n - out["n_tree"]).astype(jnp.int32)
@@ -765,15 +785,37 @@ def audio_takens_program(audio: jnp.ndarray, n_samples: jnp.ndarray,
 # (3 windows in 108k exceeded the previous cap of 80 and went through the
 # staged overflow redo).
 PALLAS_NA_MAX = 96
+# grouped-segmented kernel (n ≤ 64): group windows per grid step sharing one
+# segmented pivot reduce; arena = group·(na_max+4)·srows·128·4 B must stay
+# inside ~16 MB VMEM → na_max capped at 96 for group 8 (EEG n_na max 57
+# observed; overflow reroutes through the exact redo paths as usual)
+GROUPED_NA_MAX = 96
+GROUPED_SIZE = 8
+# routing default for small-n EEG windows on TPU; env-overridable so the
+# A/B can flip without a code edit (scratch/bench_grouped.py measures it).
+# Stays "bitset" until the on-hardware A/B confirms the grouped win — the
+# round's official bench must never ride an unmeasured kernel.
+import os as _os
+
+EEG_SMALL_KERNEL = _os.environ.get("TDA_TPU_EEG_KERNEL", "bitset")
 
 
 def h1_backend_auto(n: int) -> str:
     """Route per shape+platform: the per-window Pallas kernel wins 14x at
-    the audio n=124 shape (0.41 vs 5.7 ms/window measured on v5e); the
-    batched XLA lockstep stays ahead at n=47 (0.19 vs 0.28 ms/window)."""
+    the audio n=124 shape (0.41 vs 5.7 ms/window measured on v5e); at
+    n ≤ 64 the grouped-segmented Pallas kernel (one segmented pivot reduce
+    advancing 8 windows per step — see ops/homology_pallas.py) replaces
+    the batched XLA lockstep (which pays max-chain divergence over
+    256-window chunks plus per-step HBM arena traffic).  Off-TPU both
+    fall back to the portable XLA kernel."""
     import jax
 
-    return "pallas" if (n > 64 and jax.default_backend() == "tpu") else "bitset"
+    if jax.default_backend() != "tpu":
+        return "bitset"
+    if n > 64:
+        return "pallas"
+    return EEG_SMALL_KERNEL if EEG_SMALL_KERNEL in ("grouped", "bitset") \
+        else "bitset"
 
 
 @partial(jax.jit, static_argnames=("thresh", "na_max", "h1_max", "step_budget",
@@ -793,7 +835,7 @@ def audio_window_diagrams(dm: jnp.ndarray, n_pts: jnp.ndarray,
     n = dm.shape[-1]
     if backend == "auto":
         backend = h1_backend_auto(n)
-    if backend == "pallas":
+    if backend in ("pallas", "grouped"):
         import jax
 
         if jax.default_backend() != "tpu":
@@ -807,6 +849,13 @@ def audio_window_diagrams(dm: jnp.ndarray, n_pts: jnp.ndarray,
             dm, n_pts.astype(jnp.int32), n=n, thresh=thresh,
             na_max=min(na_max, PALLAS_NA_MAX), h1_max=h1_max,
             step_budget=step_budget)
+    elif backend == "grouped":
+        from ..ops.homology_pallas import h1_diagrams_pallas_grouped
+
+        out = h1_diagrams_pallas_grouped(
+            dm, n_pts.astype(jnp.int32), n=n, thresh=thresh,
+            na_max=min(na_max, GROUPED_NA_MAX), h1_max=h1_max,
+            step_budget=step_budget, group=GROUPED_SIZE)
     else:
         out = h1_diagrams(dm, n_pts.astype(jnp.int32), n=n,
                           thresh=thresh, na_max=na_max,

@@ -377,3 +377,313 @@ def h1_diagrams_pallas(dm: jnp.ndarray, n_pts: jnp.ndarray | None = None, *,
                 n_tree=ph["n_tree"], steps=jnp.sum(stepinfo[:, 0]),
                 n_na=jnp.sum(na_list >= 0, axis=-1).astype(jnp.int32))
 
+
+# ─────────────────────────────────────────────────────────────────────────────
+# Grouped-segmented kernel for SMALL clouds (n ≤ 64: the EEG 47-point windows)
+# ─────────────────────────────────────────────────────────────────────────────
+# The per-window kernel above loses to the batched XLA lockstep at n = 47
+# (0.34 vs 0.19 ms/window): a 47-point window's reduction chain is ~220 steps
+# of ~1 µs step latency, and one window per grid step leaves the VPU idle.
+# The XLA lockstep amortizes across windows but pays (a) max-chain divergence
+# over 256-window chunks (1.5-2.5× waste) and (b) O(chunk) HBM traffic for
+# the stored-column arena every step.
+#
+# This kernel processes GROUP windows per grid step with every per-step
+# reduce SEGMENTED across the group: ONE min-reduce yields all GROUP pivots,
+# one masked reduce yields all iuju lookups, the coboundary tiles build as
+# (GROUP, srows, LANES) vector ops.  The round-3 negative result ("grouped
+# variant slower — unrolled chains' reduce latencies serialize",
+# homology_pallas.py header) unrolled per-window reduces back-to-back; here
+# the serial latency per step is ~one window's, but the step advances GROUP
+# windows.  Divergence is bounded by max-chain over GROUP=8 windows (≈1.1×
+# at study shapes) instead of 256.  Everything stays in VMEM: at n = 47,
+# na_max = 64, GROUP = 8 the arenas total ~10 MB.
+#
+# Only the row loads (2 per window) and the stored-column gathers/saves stay
+# per-window — scalar-addressed VMEM ops off the shared reduce chain.
+
+
+def _reduce_kernel_grouped(packed_ref, out_ref, col, stored,
+                           *, g_cap: int, na_max: int, step_budget: int,
+                           group: int, n_pad: int):
+    """GROUP windows' cohomology reductions per grid step (grid = B/GROUP).
+
+    packed_ref: (GROUP, R_TOT, LANES) int32 — per window:
+        [rank(n_pad) | iuju(t_srows) | na(1) | extras(1) | app_tile(srows)]
+        extras row: lane 0 = m_cx, lane 1 = n_na.
+    out_ref: (GROUP, 8, LANES) int32 — row 0 = pair keys, row 1 = [steps,
+        budget-overflow].
+    col:    (GROUP, srows, LANES) int32 scratch — working columns.
+    stored: (GROUP·na_max, srows, LANES) int32 scratch — finished columns,
+        window w's slot s at row w·na_max + s.
+    """
+    srows = g_cap // 32
+    t_srows = g_cap // LANES
+    OFF_IUJU = n_pad
+    OFF_NA = OFF_IUJU + t_srows
+    OFF_EXTRA = OFF_NA + 1
+    OFF_APPT = OFF_EXTRA + 1
+    one = jnp.int32(1)
+
+    g3 = (group, srows, LANES)
+    s_iota3 = jax.lax.broadcasted_iota(jnp.int32, g3, 1)
+    l_iota3 = jax.lax.broadcasted_iota(jnp.int32, g3, 2)
+    lane2 = jax.lax.broadcasted_iota(jnp.int32, (group, LANES), 1)
+    ts3 = jax.lax.broadcasted_iota(jnp.int32, (group, t_srows, LANES), 1)
+    tl3 = jax.lax.broadcasted_iota(jnp.int32, (group, t_srows, LANES), 2)
+
+    app3 = packed_ref[0:group, OFF_APPT:OFF_APPT + srows, :]
+    iuju3 = packed_ref[0:group, OFF_IUJU:OFF_IUJU + t_srows, :]
+    na2 = packed_ref[0:group, OFF_NA, :]                      # (GROUP, LANES)
+    extra2 = packed_ref[0:group, OFF_EXTRA, :]
+
+    def lane_pick(row2, k):
+        """(GROUP, LANES) → (GROUP, 1) column = row2[:, k] via masked sum."""
+        return jnp.sum(jnp.where(lane2 == k, row2, 0), axis=1, keepdims=True)
+
+    mcx_v = lane_pick(extra2, 0)                              # (GROUP, 1)
+    n_na_v = jnp.minimum(lane_pick(extra2, 1), na_max)
+
+    def na_sel(idx_v):
+        """per-window na_list[idx] — one masked reduce for the group."""
+        return jnp.sum(jnp.where(lane2 == idx_v, na2, 0), axis=1,
+                       keepdims=True)
+
+    def seg_min(t3):
+        """(GROUP, srows, LANES) → (GROUP, 1) per-window min."""
+        return jnp.min(jnp.min(t3, axis=2), axis=1, keepdims=True)
+
+    def cobd3(g_v):
+        """(GROUP, 1) edge ranks → (GROUP, srows, LANES) coboundary tiles.
+
+        iuju lookup is ONE segmented masked reduce; the two rank-row loads
+        per window are independent scalar-addressed VMEM reads; everything
+        downstream is group-vectorized tile arithmetic."""
+        g1 = g_v[:, :, None]                                  # (GROUP, 1, 1)
+        hit = (ts3 == g1 // LANES) & (tl3 == g1 % LANES)
+        ij_v = jnp.sum(jnp.sum(jnp.where(hit, iuju3, 0), axis=2), axis=1,
+                       keepdims=True)                          # (GROUP, 1)
+        rows_i = jnp.concatenate(
+            [packed_ref[w, pl.ds(ij_v[w, 0] // LANES, 1), :]
+             for w in range(group)], axis=0)                   # (GROUP, LANES)
+        rows_j = jnp.concatenate(
+            [packed_ref[w, pl.ds(ij_v[w, 0] % LANES, 1), :]
+             for w in range(group)], axis=0)
+        i_g1 = (ij_v // LANES)[:, :, None]
+        j_g1 = (ij_v % LANES)[:, :, None]
+        r_i = rows_i[:, None, :]                               # (GROUP, 1, L)
+        r_j = rows_j[:, None, :]
+        gmax = jnp.maximum(g1, jnp.maximum(r_i, r_j))
+        valid = gmax < mcx_v[:, :, None]
+        case_e = valid & (gmax == g1)
+        tile_e = jnp.where(case_e & (s_iota3 == g1 // 32),
+                           one << (g1 % 32), 0)
+        case_i = valid & (gmax == r_i)
+        m_i = jnp.where(case_i & (s_iota3 == r_i // 32),
+                        one << (r_i % 32), 0)
+        bits_i = jnp.sum(m_i, axis=2, keepdims=True)           # distinct bits
+        case_j = valid & (gmax == r_j)
+        m_j = jnp.where(case_j & (s_iota3 == r_j // 32),
+                        one << (r_j % 32), 0)
+        bits_j = jnp.sum(m_j, axis=2, keepdims=True)
+        return (tile_e
+                ^ jnp.where(l_iota3 == j_g1, bits_i, 0)
+                ^ jnp.where(l_iota3 == i_g1, bits_j, 0))
+
+    out_ref[0:group, 0, :] = jnp.full((group, LANES), -1, jnp.int32)
+    out_ref[0:group, 1, :] = jnp.zeros((group, LANES), jnp.int32)
+
+    first_v = na_sel(jnp.zeros((group, 1), jnp.int32))
+    act0 = (first_v >= 0).astype(jnp.int32)
+    col[:] = jnp.where(act0[:, :, None] > 0,
+                       cobd3(jnp.maximum(first_v, 0)), 0)
+
+    def cond(carry):
+        cur_v, act_v, steps = carry
+        return (jnp.sum(act_v) > 0) & (steps < step_budget)
+
+    def body(carry):
+        cur_v, act_v, steps = carry
+        c = col[:]
+        nz3 = c != 0
+        low = c & (-c)
+        tz = jax.lax.population_count(low - one)
+        key_t = jnp.where(nz3, (s_iota3 * 32 + tz) * LANES + l_iota3, BIG)
+        key_v = seg_min(key_t)                                 # (GROUP, 1)
+        app_v = seg_min(jnp.where((low & app3) != 0, key_t, BIG))
+        nz_v = key_v < BIG
+        keyc_v = jnp.where(nz_v, key_v, -1)
+        own_app = nz_v & (app_v == key_v)
+        prior = out_ref[0:group, 0, :]                         # (GROUP, L)
+        match = (prior == key_v) & nz_v
+        slot_raw = jnp.min(jnp.where(match, lane2, na_max), axis=1,
+                           keepdims=True)
+        own_na = (slot_raw < na_max) & ~own_app
+        slot_v = jnp.minimum(slot_raw, na_max - 1)
+        act_b = act_v > 0
+        claimed = (own_app | own_na) & act_b
+        finish = act_b & ~claimed
+
+        nxt_cur = jnp.where(finish, cur_v + 1, cur_v)
+        nxt_edge = na_sel(jnp.minimum(nxt_cur, na_max - 1))
+        still = finish & (nxt_cur < n_na_v) & (nxt_edge >= 0)
+
+        g_v = jnp.maximum(keyc_v, 0) // LANES
+        cob_g = jnp.where(own_app, g_v, jnp.maximum(nxt_edge, 0))
+        cob = cobd3(cob_g)
+        stc = jnp.concatenate(
+            [stored[pl.ds(w * na_max + slot_v[w, 0], 1)]
+             for w in range(group)], axis=0)                   # (GROUP, s, L)
+        operand = jnp.where(own_app[:, :, None], cob, stc)
+
+        # finish bookkeeping BEFORE col is overwritten: record the pair and
+        # persist the finished column for later chains to XOR against
+        sel_cur = lane2 == cur_v
+        # int32, not bool: Mosaic rejects bool scalar squeezes
+        fin_rec = (finish & nz_v).astype(jnp.int32)
+        out_ref[0:group, 0, :] = jnp.where(
+            sel_cur & finish, jnp.where(nz_v, key_v, ESSENTIAL), prior)
+        for w in range(group):
+            @pl.when(fin_rec[w, 0] > 0)
+            def _(w=w):
+                stored[pl.ds(w * na_max
+                             + jnp.minimum(cur_v[w, 0], na_max - 1), 1)] = \
+                    c[w][None]
+
+        col[:] = jnp.where(claimed[:, :, None], c ^ operand,
+                           jnp.where(still[:, :, None], cob, c))
+        new_act = jnp.where(finish, still, act_b).astype(jnp.int32)
+        return nxt_cur, new_act, steps + 1
+
+    cur_f, act_f, steps = jax.lax.while_loop(
+        cond, body,
+        (jnp.zeros((group, 1), jnp.int32), act0, jnp.int32(0)))
+    l1 = lane2 == 1
+    out_ref[0:group, 1, :] = jnp.where(
+        lane2 == 0, jnp.broadcast_to(steps[None, None], (group, LANES)),
+        jnp.where(l1, jnp.broadcast_to(act_f, (group, LANES)), 0))
+
+
+@partial(jax.jit, static_argnames=("n", "thresh", "na_max", "h1_max",
+                                   "step_budget", "group", "interpret"))
+def h1_diagrams_pallas_grouped(dm: jnp.ndarray, n_pts: jnp.ndarray | None = None,
+                               *, n: int, thresh: float, na_max: int = 64,
+                               h1_max: int = 96, step_budget: int = 8192,
+                               group: int = 8, interpret: bool = False):
+    """Grouped-segmented sibling of `h1_diagrams_pallas` for n ≤ 64.
+
+    Same return contract; the batch is padded to a multiple of `group` with
+    empty complexes.  na_max defaults to 64 (observed EEG n_na max 57 on
+    study windows; overflow still flags and callers reroute)."""
+    N_PAD = 64
+    if n > N_PAD:
+        raise ValueError(f"n={n} > {N_PAD}: use h1_diagrams_pallas")
+    if na_max > LANES:
+        raise ValueError(f"na_max={na_max} > {LANES}")
+    B0 = dm.shape[0]
+    Bp = -(-B0 // group) * group
+    if Bp != B0:
+        far = (1.0 - jnp.eye(n)) * (thresh + 1.0)
+        dm = jnp.concatenate(
+            [dm, jnp.broadcast_to(far, (Bp - B0, n, n)).astype(dm.dtype)])
+        if n_pts is not None:
+            n_pts = jnp.concatenate(
+                [n_pts, jnp.full((Bp - B0,), n, n_pts.dtype)])
+    B = Bp
+    m = n * (n - 1) // 2
+    g_cap = -(-m // LANES) * LANES
+    srows = g_cap // 32
+    t_srows = g_cap // LANES
+    ph = _phase1(dm, n, thresh, na_max, n_pts)
+    na_list = ph["na_list"]; ew_r = ph["ew_r"]
+    na_eff = na_list.shape[1]
+    g_slice = min(g_cap, m)
+
+    r_used = N_PAD + t_srows + 1 + 1 + srows
+    r_tot = -(-r_used // 8) * 8
+    packed = jnp.full((B, r_tot, LANES), BIG, jnp.int32)
+    packed = packed.at[:, :n, :n].set(ph["rank_mat"])
+
+    def table(x, fill):
+        t = jnp.full((B, g_cap), fill, jnp.int32)
+        return t.at[:, :g_slice].set(
+            x[:, :g_slice].astype(jnp.int32)).reshape(B, t_srows, LANES)
+
+    iuju = ph["iu_r"].astype(jnp.int32) * LANES + ph["ju_r"].astype(jnp.int32)
+    off = N_PAD
+    packed = packed.at[:, off:off + t_srows, :].set(table(iuju, 0))
+    off += t_srows
+    na_row = jnp.full((B, LANES), -1, jnp.int32).at[:, :na_eff].set(na_list)
+    packed = packed.at[:, off, :].set(na_row)
+    off += 1
+    n_na_full = jnp.sum(na_list >= 0, axis=-1).astype(jnp.int32)
+    extra = jnp.zeros((B, LANES), jnp.int32)
+    extra = extra.at[:, 0].set(ph["m_cx"].astype(jnp.int32))
+    extra = extra.at[:, 1].set(n_na_full)
+    packed = packed.at[:, off, :].set(extra)
+    off += 1
+    vs = jnp.full((B, g_cap), -1, jnp.int32).at[:, :g_slice].set(
+        jnp.where(ph["apparent_r"], ph["vstar_r"].astype(jnp.int32),
+                  -1)[:, :g_slice])
+    vs3 = vs.reshape(B, srows, 32)
+    lane = jnp.arange(LANES, dtype=jnp.int32)[None, None, :]
+    appt = jnp.zeros((B, srows, LANES), jnp.uint32)
+    for k in range(32):
+        appt = appt | jnp.where(vs3[:, :, k][:, :, None] == lane,
+                                jnp.uint32(1) << k, jnp.uint32(0))
+    packed = packed.at[:, off:off + srows, :].set(
+        jax.lax.bitcast_convert_type(appt, jnp.int32))
+
+    kernel = functools.partial(_reduce_kernel_grouped, g_cap=g_cap,
+                               na_max=na_max, step_budget=step_budget,
+                               group=group, n_pad=N_PAD)
+    out = pl.pallas_call(
+        kernel,
+        grid=(B // group,),
+        in_specs=[pl.BlockSpec((group, r_tot, LANES), lambda b: (b, 0, 0),
+                               memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec((group, 8, LANES), lambda b: (b, 0, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((group, srows, LANES), jnp.int32),
+            pltpu.VMEM((group * na_max, srows, LANES), jnp.int32),
+        ],
+        out_shape=jax.ShapeDtypeStruct((B, 8, LANES), jnp.int32),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=int(group * (na_max + 4) * srows * LANES * 4
+                                 + 4 * group * r_tot * LANES * 4)),
+        interpret=interpret,
+    )(packed)
+
+    pair_key = out[:, 0, :na_eff]
+    stepinfo = out[:, 1, :]
+    na_edge = jnp.maximum(na_list, 0)
+    births = jnp.take_along_axis(ew_r, na_edge, axis=-1)
+    g_pair = jnp.maximum(pair_key, 0) // LANES
+    deaths = jnp.take_along_axis(ew_r, g_pair, axis=-1)
+    ess = (pair_key == ESSENTIAL) & (na_list >= 0)
+    deaths = jnp.where(ess, jnp.inf, deaths)
+    vis = (na_list >= 0) & ((pair_key >= 0) | ess) & (deaths > births)
+
+    order = jnp.argsort(~vis, axis=-1, stable=True)[:, :h1_max]
+    births = jnp.take_along_axis(births, order, axis=-1)
+    deaths = jnp.take_along_axis(deaths, order, axis=-1)
+    mask = jnp.take_along_axis(vis, order, axis=-1)
+    if h1_max > na_eff:
+        pad = h1_max - na_eff
+        births = jnp.pad(births, ((0, 0), (0, pad)))
+        deaths = jnp.pad(deaths, ((0, 0), (0, pad)))
+        mask = jnp.pad(mask, ((0, 0), (0, pad)))
+    n_essential = jnp.sum(ess, axis=-1).astype(jnp.int32)
+    overflow = (ph["overflow_na"] | (stepinfo[:, 1] > 0)
+                | (ph["m_cx"] > g_cap) | (jnp.sum(vis, axis=-1) > h1_max))
+    res = dict(births=births, deaths=deaths, mask=mask,
+               n_essential=n_essential, overflow=overflow,
+               h0_deaths=ph["h0_deaths"], h0_mask=ph["h0_mask"],
+               n_tree=ph["n_tree"], steps=jnp.sum(stepinfo[:, 0]),
+               n_na=n_na_full)
+    if Bp != B0:
+        res = {k: v[:B0] if hasattr(v, "shape") and v.ndim and
+               v.shape[0] == Bp else v for k, v in res.items()}
+    return res
+
