@@ -247,15 +247,21 @@ def _reduce_kernel(mcx_ref, packed_ref, out_ref, col, stored,
 
 
 @partial(jax.jit, static_argnames=("n", "thresh", "na_max", "h1_max",
-                                   "step_budget", "g_cap", "interpret"))
+                                   "step_budget", "g_cap", "interpret",
+                                   "chains"))
 def h1_diagrams_pallas(dm: jnp.ndarray, n_pts: jnp.ndarray | None = None, *,
                        n: int, thresh: float, na_max: int = 96,
                        h1_max: int = 96, step_budget: int = 8192,
-                       g_cap: int | None = None, interpret: bool = False):
+                       g_cap: int | None = None, interpret: bool = False,
+                       chains: int = 1):
     """Drop-in sibling of `h1_diagrams` backed by the per-window Pallas
     kernel.  Same return contract (births/deaths/mask/n_essential/h0_*/
     overflow); windows with m_cx > g_cap or n_na > na_max raise `overflow`
     so the caller can reroute them (homology_exec already does).
+
+    chains=2 runs the dual-chain kernel (`_reduce_kernel_dual`): two
+    creator chains advance per step sharing the stored arena — same
+    diagrams, ~half the dependent steps.
     """
     if n > LANES:
         raise ValueError(f"n={n} > {LANES} unsupported by the Pallas backend")
@@ -317,8 +323,14 @@ def h1_diagrams_pallas(dm: jnp.ndarray, n_pts: jnp.ndarray | None = None, *,
         jax.lax.bitcast_convert_type(appt, jnp.int32))
     mcx = ph["m_cx"].astype(jnp.int32)                    # (B,) scalar prefetch
 
-    kernel = functools.partial(_reduce_kernel, g_cap=g_cap, na_max=na_max,
-                               step_budget=step_budget)
+    if chains == 2:
+        kernel = functools.partial(_reduce_kernel_dual, g_cap=g_cap,
+                                   na_max=na_max, step_budget=step_budget)
+        col_shape = (2, srows, LANES)
+    else:
+        kernel = functools.partial(_reduce_kernel, g_cap=g_cap, na_max=na_max,
+                                   step_budget=step_budget)
+        col_shape = (srows, LANES)
     stored_shape = (na_max, srows, LANES)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
@@ -331,7 +343,7 @@ def h1_diagrams_pallas(dm: jnp.ndarray, n_pts: jnp.ndarray | None = None, *,
         out_specs=pl.BlockSpec((1, 8, LANES), lambda b, *_: (b, 0, 0),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[
-            pltpu.VMEM((srows, LANES), jnp.int32),
+            pltpu.VMEM(col_shape, jnp.int32),
             pltpu.VMEM(stored_shape, jnp.int32),
         ],
     )
@@ -376,6 +388,192 @@ def h1_diagrams_pallas(dm: jnp.ndarray, n_pts: jnp.ndarray | None = None, *,
                 h0_deaths=ph["h0_deaths"], h0_mask=ph["h0_mask"],
                 n_tree=ph["n_tree"], steps=jnp.sum(stepinfo[:, 0]),
                 n_na=jnp.sum(na_list >= 0, axis=-1).astype(jnp.int32))
+
+
+# ─────────────────────────────────────────────────────────────────────────────
+# Dual-chain kernel for LARGE clouds (n ≤ 128: the audio 124-point windows)
+# ─────────────────────────────────────────────────────────────────────────────
+# The per-window kernel is per-step LATENCY-bound (~300 dependent reduction
+# steps of ~1 µs at n=124); the window's creators are reduced strictly one
+# at a time.  Grouping WINDOWS per grid step is impossible at this size —
+# the stored-column arena (na_max × srows × LANES × 4 B ≈ 11.8 MB) already
+# fills VMEM.  But two creator chains of the SAME window can advance in one
+# step sharing that arena: per-step cost is one segmented pivot reduce for
+# both chains plus vectorized (2, srows, LANES) tile work, so total steps
+# drop toward half.
+#
+# Correctness under concurrency: a chain's XOR operands are (a) apparent
+# columns — fixed, order-independent — and (b) stored columns of FINISHED
+# creators, all earlier in creator order, so the implied reduction matrix
+# stays triangular.  The one ordering hazard is FINISHING: the younger
+# chain's candidate final pivot might still be claimed by the older chain's
+# eventual pair.  Gate: a chain may finish only while it is the OLDEST
+# active chain; otherwise it stalls (column unchanged) and re-checks — when
+# the older chain finishes and stores its column, the younger's pivot
+# lookup either matches it (XOR, continue) or doesn't (now oldest, finish).
+# At most one chain finishes per step, so the shared next-creator counter
+# advances by ≤ 1.
+
+
+def _reduce_kernel_dual(mcx_ref, packed_ref, out_ref, col, stored,
+                        *, g_cap: int, na_max: int, step_budget: int):
+    """TWO concurrent creator chains of one window (grid = windows).
+
+    Same packed layout as `_reduce_kernel`; col is (2, srows, LANES)."""
+    srows = g_cap // 32
+    t_srows = g_cap // LANES
+    OFF_IUJU = LANES
+    OFF_NA = OFF_IUJU + t_srows
+    OFF_APPT = OFF_NA + 1
+    m_cx = mcx_ref[pl.program_id(0)]
+    one = jnp.int32(1)
+    C = 2
+
+    s3 = jax.lax.broadcasted_iota(jnp.int32, (C, srows, LANES), 1)
+    l3 = jax.lax.broadcasted_iota(jnp.int32, (C, srows, LANES), 2)
+    lane2 = jax.lax.broadcasted_iota(jnp.int32, (C, LANES), 1)
+    lane1 = jax.lax.broadcasted_iota(jnp.int32, (1, LANES), 1)
+    ts3 = jax.lax.broadcasted_iota(jnp.int32, (C, t_srows, LANES), 1)
+    tl3 = jax.lax.broadcasted_iota(jnp.int32, (C, t_srows, LANES), 2)
+
+    app3 = packed_ref[0, OFF_APPT:OFF_APPT + srows, :][None]   # (1, s, L)
+    iuju3 = packed_ref[0, OFF_IUJU:OFF_IUJU + t_srows, :][None]
+    na2 = jnp.broadcast_to(packed_ref[0, OFF_NA, :][None], (C, LANES))
+    n_na = jnp.minimum(
+        jnp.sum((packed_ref[0, OFF_NA, :][None] >= 0).astype(jnp.int32)),
+        na_max)
+
+    def na_sel(idx_v):
+        """(C, 1) creator indices → (C, 1) creator edge ranks."""
+        return jnp.sum(jnp.where(lane2 == idx_v, na2, 0), axis=1,
+                       keepdims=True)
+
+    def seg_min(t3):
+        return jnp.min(jnp.min(t3, axis=2), axis=1, keepdims=True)
+
+    def cobd2(g_v):
+        """(C, 1) edge ranks → (C, srows, LANES) coboundary tiles."""
+        g1 = g_v[:, :, None]
+        hit = (ts3 == g1 // LANES) & (tl3 == g1 % LANES)
+        ij_v = jnp.sum(jnp.sum(jnp.where(hit, iuju3, 0), axis=2), axis=1,
+                       keepdims=True)                          # (C, 1)
+        rows_i = jnp.concatenate(
+            [packed_ref[0, pl.ds(ij_v[c, 0] // LANES, 1), :]
+             for c in range(C)], axis=0)                       # (C, LANES)
+        rows_j = jnp.concatenate(
+            [packed_ref[0, pl.ds(ij_v[c, 0] % LANES, 1), :]
+             for c in range(C)], axis=0)
+        i_g1 = (ij_v // LANES)[:, :, None]
+        j_g1 = (ij_v % LANES)[:, :, None]
+        r_i = rows_i[:, None, :]
+        r_j = rows_j[:, None, :]
+        gmax = jnp.maximum(g1, jnp.maximum(r_i, r_j))
+        valid = gmax < m_cx
+        case_e = valid & (gmax == g1)
+        tile_e = jnp.where(case_e & (s3 == g1 // 32), one << (g1 % 32), 0)
+        case_i = valid & (gmax == r_i)
+        m_i = jnp.where(case_i & (s3 == r_i // 32), one << (r_i % 32), 0)
+        bits_i = jnp.sum(m_i, axis=2, keepdims=True)
+        case_j = valid & (gmax == r_j)
+        m_j = jnp.where(case_j & (s3 == r_j // 32), one << (r_j % 32), 0)
+        bits_j = jnp.sum(m_j, axis=2, keepdims=True)
+        return (tile_e
+                ^ jnp.where(l3 == j_g1, bits_i, 0)
+                ^ jnp.where(l3 == i_g1, bits_j, 0))
+
+    out_ref[0, 0, :] = jnp.full((LANES,), -1, jnp.int32)
+    out_ref[0, 1, :] = jnp.zeros((LANES,), jnp.int32)
+
+    chain_iota = jax.lax.broadcasted_iota(jnp.int32, (C, 1), 0)
+    cur0 = chain_iota                                          # chain c ← creator c
+    first = na_sel(cur0)
+    act0 = ((chain_iota < n_na) & (first >= 0)).astype(jnp.int32)
+    col[:] = jnp.where(act0[:, :, None] > 0,
+                       cobd2(jnp.maximum(first, 0)), 0)
+
+    def cond(carry):
+        cur_v, act_v, next_k, steps = carry
+        return (jnp.sum(act_v) > 0) & (steps < step_budget)
+
+    def body(carry):
+        cur_v, act_v, next_k, steps = carry
+        c = col[:]
+        nz3 = c != 0
+        low = c & (-c)
+        tz = jax.lax.population_count(low - one)
+        key_t = jnp.where(nz3, (s3 * 32 + tz) * LANES + l3, BIG)
+        key_v = seg_min(key_t)                                 # (C, 1)
+        app_v = seg_min(jnp.where((low & app3) != 0, key_t, BIG))
+        nz_v = key_v < BIG
+        own_app = nz_v & (app_v == key_v)
+        prior1 = out_ref[0, 0, :][None]                        # (1, LANES)
+        match = (prior1 == key_v) & nz_v                       # (C, LANES)
+        slot_raw = jnp.min(jnp.where(match, lane2, na_max), axis=1,
+                           keepdims=True)
+        own_na = (slot_raw < na_max) & ~own_app
+        slot_v = jnp.minimum(slot_raw, na_max - 1)
+        act_b = act_v > 0
+        claimed = (own_app | own_na) & act_b
+        fin = act_b & ~claimed
+        # the oldest active chain may always finish; the younger may finish
+        # ALONGSIDE it iff the older is finishing too and their final pivots
+        # differ (the only claim that could still reach the younger's pivot
+        # is the older's pair — checked explicitly here; equal pivots fall
+        # back to an own_na XOR next step).  Without this, finishes
+        # serialize at one per step and short chains cap the speedup.
+        cur_eff = jnp.where(act_b, cur_v, BIG)
+        oldest = cur_eff == jnp.min(cur_eff)
+        allowed_old = fin & oldest
+        other_fin = jnp.flip(allowed_old, axis=0)
+        other_key = jnp.flip(jnp.where(nz_v, key_v, -1), axis=0)
+        allowed = allowed_old | (fin & ~oldest & other_fin
+                                 & (jnp.where(nz_v, key_v, -1) != other_key))
+
+        # creator assignment rank: the older finisher takes next_k, a
+        # simultaneous younger finisher takes next_k + 1
+        rank = jnp.where(allowed & ~oldest,
+                         jnp.sum((allowed & oldest).astype(jnp.int32)), 0)
+        nxt_full = jnp.broadcast_to(next_k[None, None], (C, 1)) + rank
+        nxt_edge = na_sel(jnp.minimum(nxt_full, na_max - 1))
+        still = allowed & (nxt_full < n_na) & (nxt_edge >= 0)
+
+        g_v = jnp.maximum(key_v, 0) // LANES
+        cob_g = jnp.where(own_app, g_v, jnp.maximum(nxt_edge, 0))
+        cob = cobd2(cob_g)
+        stc = jnp.concatenate(
+            [stored[pl.ds(slot_v[ci, 0], 1)] for ci in range(C)], axis=0)
+        operand = jnp.where(own_app[:, :, None], cob, stc)
+
+        # pair record + column persist for the (≤1) finishing chain — BEFORE
+        # col is overwritten
+        allowed_i = (allowed).astype(jnp.int32)
+        rec_i = (allowed & nz_v).astype(jnp.int32)
+        for ci in range(C):
+            @pl.when(allowed_i[ci, 0] > 0)
+            def _(ci=ci):
+                out_ref[0, 0, :] = jnp.where(
+                    lane1 == cur_v[ci, 0],
+                    jnp.where(rec_i[ci, 0] > 0, key_v[ci, 0], ESSENTIAL),
+                    out_ref[0, 0, :][None])[0]
+
+                @pl.when(rec_i[ci, 0] > 0)
+                def _():
+                    stored[pl.ds(jnp.minimum(cur_v[ci, 0], na_max - 1), 1)] \
+                        = c[ci][None]
+
+        col[:] = jnp.where(claimed[:, :, None], c ^ operand,
+                           jnp.where(still[:, :, None], cob, c))
+        cur_new = jnp.where(allowed, nxt_full, cur_v)
+        act_new = jnp.where(allowed, still, act_b).astype(jnp.int32)
+        nk_new = next_k + jnp.sum(still.astype(jnp.int32))
+        return cur_new, act_new, nk_new, steps + 1
+
+    _, act_f, _, steps = jax.lax.while_loop(
+        cond, body, (cur0, act0, jnp.minimum(jnp.int32(C), n_na),
+                     jnp.int32(0)))
+    out_ref[0, 1, :] = jnp.where(
+        lane1 == 0, steps,
+        jnp.where(lane1 == 1, jnp.sum(act_f), 0))[0]
 
 
 # ─────────────────────────────────────────────────────────────────────────────

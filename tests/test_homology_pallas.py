@@ -269,3 +269,58 @@ def test_grouped_overflow_flags():
                                     h1_max=96, step_budget=3, group=8,
                                     interpret=True)
     assert np.array(o2["overflow"]).all()
+
+
+def test_dual_chain_parity():
+    """chains=2 (two concurrent creator chains sharing the stored arena)
+    == the XLA kernel bar-for-bar, incl. heavy stored-hit matrices and
+    padded/degenerate windows."""
+    rng = np.random.default_rng(0)
+    x = rng.standard_normal((8, 47, 250))
+    c = np.stack([np.corrcoef(w) for w in x])
+    dm = np.sqrt(np.maximum(2 * (1 - np.clip(c, -1, 1)), 0))
+    for d in dm:
+        np.fill_diagonal(d, 0.0)
+    dms = jnp.asarray(dm.astype(np.float32))
+    a = {k: np.array(v) for k, v in h1_diagrams(
+        dms, n=47, thresh=2.0, na_max=128, h1_max=128,
+        step_budget=16384).items()}
+    b = {k: np.array(v) for k, v in h1_diagrams_pallas(
+        dms, n=47, thresh=2.0, na_max=128, h1_max=128, step_budget=16384,
+        interpret=True, chains=2).items()}
+    for i in range(8):
+        ga, gb = _bars(a, i), _bars(b, i)
+        assert len(ga) == len(gb)
+        np.testing.assert_allclose(np.sort(gb, 0), np.sort(ga, 0), atol=1e-6)
+    np.testing.assert_array_equal(a["n_essential"], b["n_essential"])
+
+    # padded + degenerate windows at the audio shape
+    rng = np.random.default_rng(3)
+    n = 124
+    n_pts = np.array([124, 90, 7, 2], np.int32)
+    dml = []
+    for k in n_pts:
+        sig = rng.standard_normal(n + 24).cumsum()
+        pts = np.stack([sig[j * 4:j * 4 + n] for j in range(3)], -1)
+        lo, hi = pts.min(0), pts.max(0)
+        pts = (pts - lo) / np.where(hi - lo > 0, hi - lo, 1.0)
+        d = np.linalg.norm(pts[:, None] - pts[None, :], axis=-1)
+        d[k:, :] = 3.5
+        d[:, k:] = 3.5
+        np.fill_diagonal(d, 0.0)
+        dml.append(d)
+    dms = jnp.asarray(np.stack(dml).astype(np.float32))
+    npj = jnp.asarray(n_pts)
+    a = {k: np.array(v) for k, v in h1_diagrams(
+        dms, npj, n=n, thresh=2.0, na_max=96, h1_max=96,
+        step_budget=8192).items()}
+    b = {k: np.array(v) for k, v in h1_diagrams_pallas(
+        dms, npj, n=n, thresh=2.0, na_max=96, h1_max=96, step_budget=8192,
+        interpret=True, chains=2).items()}
+    for i in range(4):
+        ga, gb = _bars(a, i), _bars(b, i)
+        assert len(ga) == len(gb)
+        if len(ga):
+            np.testing.assert_allclose(np.sort(gb, 0), np.sort(ga, 0),
+                                       atol=1e-6)
+    np.testing.assert_array_equal(a["n_tree"], b["n_tree"])
