@@ -798,6 +798,9 @@ GROUPED_SIZE = 8
 import os as _os
 
 EEG_SMALL_KERNEL = _os.environ.get("TDA_TPU_EEG_KERNEL", "bitset")
+# concurrent creator chains in the per-window audio kernel (1 or 2);
+# flipped to 2 once scratch/bench_dual.py confirms on hardware
+AUDIO_CHAINS = int(_os.environ.get("TDA_TPU_AUDIO_CHAINS", "1"))
 
 
 def h1_backend_auto(n: int) -> str:
@@ -848,7 +851,7 @@ def audio_window_diagrams(dm: jnp.ndarray, n_pts: jnp.ndarray,
         out = h1_diagrams_pallas(
             dm, n_pts.astype(jnp.int32), n=n, thresh=thresh,
             na_max=min(na_max, PALLAS_NA_MAX), h1_max=h1_max,
-            step_budget=step_budget)
+            step_budget=step_budget, chains=AUDIO_CHAINS)
     elif backend == "grouped":
         from ..ops.homology_pallas import h1_diagrams_pallas_grouped
 

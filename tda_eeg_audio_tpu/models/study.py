@@ -1109,7 +1109,12 @@ class StudyRunner:
         per = defaultdict(lambda: defaultdict(list))
         for r in rows:
             per[r["band"]][(r["subject"], r["condition"])].append(r)
-        pvals_h1 = []
+        # per-band deltas gathered into ONE masked (5, n_max) batch so the
+        # whole stats block costs 4 device dispatches instead of 25 — each
+        # dispatch+sync costs ~0.1-0.3 s of round-trip latency on this
+        # deployment's tunnel, which dominated this host-side stage
+        band_data = {}
+        n_max = 1
         for band in BAND_NAMES:
             groups = per[band]
             means = {}
@@ -1121,37 +1126,55 @@ class StudyRunner:
                 )
             subs = sorted({s for (s, c) in means if (s, "slow") in means
                            and (s, "fast") in means})
+            band_data[band] = (means, subs)
+            n_max = max(n_max, len(subs))
+        NB = len(BAND_NAMES)
+        D0 = np.zeros((NB, n_max), np.float32)
+        D1 = np.zeros((NB, n_max), np.float32)
+        DC = np.zeros((NB, n_max), np.float32)
+        M = np.zeros((NB, n_max), bool)
+        for bi_, band in enumerate(BAND_NAMES):
+            means, subs = band_data[band]
+            if len(subs) < 5:
+                M[bi_, 0] = True     # placeholder row; result unused
+                continue
+            for si, s in enumerate(subs):
+                D0[bi_, si] = means[(s, "slow")]["h0"] - means[(s, "fast")]["h0"]
+                D1[bi_, si] = means[(s, "slow")]["h1"] - means[(s, "fast")]["h1"]
+                DC[bi_, si] = (means[(s, "slow")]["corr"]
+                               - means[(s, "fast")]["corr"])
+                M[bi_, si] = True
+        Mj = jnp.asarray(M)
+        _, p0_all = dstats.wilcoxon(jnp.asarray(D0), Mj)
+        _, p1_all = dstats.wilcoxon(jnp.asarray(D1), Mj)
+        _, pc_all = dstats.wilcoxon(jnp.asarray(DC), Mj)
+        key, sub = jax.random.split(key)
+        perm_all = dstats.sign_flip_pvalue(jnp.asarray(D1), Mj, sub, n_perm)
+        coh_all = dstats.cohens_d_paired(jnp.asarray(D1), Mj)
+        p0_all, p1_all, pc_all, perm_all, coh_all = (
+            np.asarray(p0_all), np.asarray(p1_all), np.asarray(pc_all),
+            np.asarray(perm_all), np.asarray(coh_all))
+
+        pvals_h1 = []
+        for bi_, band in enumerate(BAND_NAMES):
+            means, subs = band_data[band]
             n = len(subs)
             bs = {"n_subjects": n, "band": band}
             if n >= 5:
-                d0 = np.array([means[(s, "slow")]["h0"] - means[(s, "fast")]["h0"]
-                               for s in subs])
-                d1 = np.array([means[(s, "slow")]["h1"] - means[(s, "fast")]["h1"]
-                               for s in subs])
-                dc = np.array([means[(s, "slow")]["corr"] - means[(s, "fast")]["corr"]
-                               for s in subs])
-                ones = jnp.ones((1, n), bool)
-                _, p0 = dstats.wilcoxon(jnp.asarray(d0[None], jnp.float32), ones)
-                _, p1 = dstats.wilcoxon(jnp.asarray(d1[None], jnp.float32), ones)
-                _, pc = dstats.wilcoxon(jnp.asarray(dc[None], jnp.float32), ones)
-                key, sub = jax.random.split(key)
-                perm_p = dstats.sign_flip_pvalue(
-                    jnp.asarray(d1[None], jnp.float32), ones, sub, n_perm)
-                cohens = dstats.cohens_d_paired(
-                    jnp.asarray(d1[None], jnp.float32), ones)
+                d1 = D1[bi_, :n]
                 bs.update({
                     "wass_h0_slow": float(np.mean([means[(s, "slow")]["h0"] for s in subs])),
                     "wass_h0_fast": float(np.mean([means[(s, "fast")]["h0"] for s in subs])),
-                    "wass_h0_p": float(np.array(p0)[0]),
+                    "wass_h0_p": float(p0_all[bi_]),
                     "wass_h1_slow": float(np.mean([means[(s, "slow")]["h1"] for s in subs])),
                     "wass_h1_fast": float(np.mean([means[(s, "fast")]["h1"] for s in subs])),
-                    "wass_h1_p": float(np.array(p1)[0]),
-                    "wass_h1_perm_p": float(np.array(perm_p)[0]),
-                    "wass_h1_cohens_d": float(np.array(cohens)[0]),
+                    "wass_h1_p": float(p1_all[bi_]),
+                    "wass_h1_perm_p": float(perm_all[bi_]),
+                    "wass_h1_cohens_d": float(coh_all[bi_]),
                     "wass_h1_direction": "slow < fast" if d1.mean() < 0 else "slow > fast",
                     "corr_slow": float(np.mean([means[(s, "slow")]["corr"] for s in subs])),
                     "corr_fast": float(np.mean([means[(s, "fast")]["corr"] for s in subs])),
-                    "corr_p": float(np.array(pc)[0]),
+                    "corr_p": float(pc_all[bi_]),
                     "n_slow_lower": int(np.sum(d1 < 0)),
                 })
             stats_out[band] = bs
@@ -1326,28 +1349,47 @@ class StudyRunner:
         for r in rows:
             if np.isfinite(r["w_matched"]) and np.isfinite(r["w_mismatched"]):
                 per[r["band"]][r["subject"]].append(r)
+        # ONE masked (5, n_max) wilcoxon + cohens batch — 2 dispatches
+        # instead of 10 (each costs a tunnel round trip; see
+        # _comparison_stats)
+        band_sm = {band: {s: (np.mean([x["w_matched"] for x in rs]),
+                              np.mean([x["w_mismatched"] for x in rs]))
+                          for s, rs in per[band].items()}
+                   for band in BAND_NAMES}
+        n_max = max(1, *(len(sm) for sm in band_sm.values()))
+        NB = len(BAND_NAMES)
+        D = np.zeros((NB, n_max), np.float32)
+        M = np.zeros((NB, n_max), bool)
+        for bi_, band in enumerate(BAND_NAMES):
+            sm = band_sm[band]
+            if len(sm) < 5:
+                M[bi_, 0] = True     # placeholder; result unused
+                continue
+            for si, (m, mm) in enumerate(sm.values()):
+                D[bi_, si] = m - mm
+                M[bi_, si] = True
+        Mj = jnp.asarray(M)
+        _, p_all = dstats.wilcoxon(jnp.asarray(D), Mj)
+        d_all = dstats.cohens_d_paired(jnp.asarray(D), Mj)
+        p_all, d_all = np.asarray(p_all), np.asarray(d_all)
+
         pvals = []
-        for band in BAND_NAMES:
-            sm = {s: (np.mean([x["w_matched"] for x in rs]),
-                      np.mean([x["w_mismatched"] for x in rs]))
-                  for s, rs in per[band].items()}
+        for bi_, band in enumerate(BAND_NAMES):
+            sm = band_sm[band]
             n = len(sm)
             if n < 5:
                 results[band] = {"n": n, "status": "insufficient"}
                 pvals.append(1.0)
                 continue
-            diff = np.array([m - mm for (m, mm) in sm.values()])
-            ones = jnp.ones((1, n), bool)
-            _, p = dstats.wilcoxon(jnp.asarray(diff[None], jnp.float32), ones)
-            d_ = dstats.cohens_d_paired(jnp.asarray(diff[None], jnp.float32), ones)
+            diff = D[bi_, :n]
             m_mean = float(np.mean([m for m, _ in sm.values()]))
             mm_mean = float(np.mean([mm for _, mm in sm.values()]))
             results[band] = {
                 "n": n, "w_matched": m_mean, "w_mismatched": mm_mean,
                 "direction": ("matched < mismatched" if m_mean < mm_mean
                               else "matched > mismatched"),
-                "p": float(np.array(p)[0]),
-                "cohens_d": float(np.array(d_)[0]),
+                "p": float(p_all[bi_]),
+                "cohens_d": float(d_all[bi_]),
                 "n_matched_lower": int(np.sum(diff < 0)),
                 "pct_matched_lower": float(np.sum(diff < 0) / n * 100),
             }

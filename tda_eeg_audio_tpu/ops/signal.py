@@ -482,12 +482,17 @@ def sosfiltfilt_scan_masked(x: jnp.ndarray, n: jnp.ndarray, sos, zi) -> jnp.ndar
     serves every recording length — the padded tail never contaminates the
     backward IIR pass (unlike naively filtering the padded buffer).
     """
-    sos = jnp.asarray(np.asarray(sos))
+    # edge length must come from the HOST design values BEFORE any jnp
+    # conversion: under jit, jnp.asarray(const) yields a traced value and
+    # np.asarray on it raises TracerArrayConversionError (this path was
+    # unexercised under jit until the FIR parity study — VERDICT r3 #3)
+    sos_np = np.asarray(sos)
     zi_a = jnp.asarray(np.asarray(zi))
-    n_sections = sos.shape[0]
+    n_sections = sos_np.shape[0]
     ntaps = 2 * n_sections + 1
-    ntaps -= min(int((np.asarray(sos)[:, 2] == 0).sum()),
-                 int((np.asarray(sos)[:, 5] == 0).sum()))
+    ntaps -= min(int((sos_np[:, 2] == 0).sum()),
+                 int((sos_np[:, 5] == 0).sum()))
+    sos = jnp.asarray(sos_np)
     edge = ntaps * 3
     T = x.shape[-1]
     Text = T + 2 * edge
