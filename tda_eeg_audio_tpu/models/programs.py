@@ -787,9 +787,11 @@ def audio_takens_program(audio: jnp.ndarray, n_samples: jnp.ndarray,
 PALLAS_NA_MAX = 96
 # grouped-segmented kernel (n ≤ 64): group windows per grid step sharing one
 # segmented pivot reduce; arena = group·(na_max+4)·srows·128·4 B must stay
-# inside ~16 MB VMEM → na_max capped at 96 for group 8 (EEG n_na max 57
-# observed; overflow reroutes through the exact redo paths as usual)
-GROUPED_NA_MAX = 96
+# inside ~16 MB VMEM → na_max 64 at group 8 costs 9.4 MB (96 would be
+# 14.7 MB + packed buffers ≈ over budget).  EEG study windows measure
+# n_na ≤ 57; the rare exceedance overflow-flags and reroutes through the
+# exact redo paths as usual.
+GROUPED_NA_MAX = 64
 GROUPED_SIZE = 8
 # routing default for small-n EEG windows on TPU; env-overridable so the
 # A/B can flip without a code edit (scratch/bench_grouped.py measures it).

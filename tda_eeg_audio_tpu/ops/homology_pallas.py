@@ -524,8 +524,13 @@ def _reduce_kernel_dual(mcx_ref, packed_ref, out_ref, col, stored,
         cur_eff = jnp.where(act_b, cur_v, BIG)
         oldest = cur_eff == jnp.min(cur_eff)
         allowed_old = fin & oldest
-        other_fin = jnp.flip(allowed_old, axis=0)
-        other_key = jnp.flip(jnp.where(nz_v, key_v, -1), axis=0)
+
+        def swap01(x):
+            # chain-axis flip as static slices (Mosaic has no `rev`)
+            return jnp.concatenate([x[1:2], x[0:1]], axis=0)
+
+        other_fin = swap01(allowed_old)
+        other_key = swap01(jnp.where(nz_v, key_v, -1))
         allowed = allowed_old | (fin & ~oldest & other_fin
                                  & (jnp.where(nz_v, key_v, -1) != other_key))
 

@@ -324,3 +324,28 @@ def test_dual_chain_parity():
             np.testing.assert_allclose(np.sort(gb, 0), np.sort(ga, 0),
                                        atol=1e-6)
     np.testing.assert_array_equal(a["n_tree"], b["n_tree"])
+
+
+def test_mosaic_lowering_device_free():
+    """Both production Mosaic kernels LOWER for TPU on a CPU-only host
+    (jax.export runs the Pallas→Mosaic lowering without a device) — this
+    catches unsupported-primitive regressions (e.g. `rev`) without TPU
+    hardware in the loop."""
+    from functools import partial
+
+    import jax
+    from jax import export
+
+    from tda_eeg_audio_tpu.ops.homology_pallas import (
+        h1_diagrams_pallas, h1_diagrams_pallas_grouped)
+
+    f_g = partial(h1_diagrams_pallas_grouped, n=47, thresh=2.0, na_max=64,
+                  h1_max=96, step_budget=8192, group=8)
+    export.export(jax.jit(f_g), platforms=["tpu"])(
+        jax.ShapeDtypeStruct((16, 47, 47), jnp.float32))
+    for chains in (1, 2):
+        f_d = partial(h1_diagrams_pallas, n=124, thresh=2.0, na_max=96,
+                      h1_max=96, step_budget=8192, chains=chains)
+        export.export(jax.jit(f_d), platforms=["tpu"])(
+            jax.ShapeDtypeStruct((4, 124, 124), jnp.float32),
+            jax.ShapeDtypeStruct((4,), jnp.int32))
