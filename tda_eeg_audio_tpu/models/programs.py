@@ -800,8 +800,8 @@ GROUPED_SIZE = 8
 import os as _os
 
 EEG_SMALL_KERNEL = _os.environ.get("TDA_TPU_EEG_KERNEL", "bitset")
-# concurrent creator chains in the per-window audio kernel (1 or 2);
-# flipped to 2 once scratch/bench_dual.py confirms on hardware
+# concurrent creator chains in the per-window audio kernel (1, 2 or 4);
+# flipped once scratch/bench_dual.py confirms the winner on hardware
 AUDIO_CHAINS = int(_os.environ.get("TDA_TPU_AUDIO_CHAINS", "1"))
 
 

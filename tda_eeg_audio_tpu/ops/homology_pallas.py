@@ -259,9 +259,10 @@ def h1_diagrams_pallas(dm: jnp.ndarray, n_pts: jnp.ndarray | None = None, *,
     overflow); windows with m_cx > g_cap or n_na > na_max raise `overflow`
     so the caller can reroute them (homology_exec already does).
 
-    chains=2 runs the dual-chain kernel (`_reduce_kernel_dual`): two
-    creator chains advance per step sharing the stored arena — same
-    diagrams, ~half the dependent steps.
+    chains=C (2, 4, ...) runs the multi-chain kernel (`_reduce_kernel_multi`):
+    C creator chains advance per step sharing the stored arena — same
+    diagrams, dependent steps toward 1/C (at most two chains finish per
+    step; see the kernel's correctness note).
     """
     if n > LANES:
         raise ValueError(f"n={n} > {LANES} unsupported by the Pallas backend")
@@ -323,10 +324,11 @@ def h1_diagrams_pallas(dm: jnp.ndarray, n_pts: jnp.ndarray | None = None, *,
         jax.lax.bitcast_convert_type(appt, jnp.int32))
     mcx = ph["m_cx"].astype(jnp.int32)                    # (B,) scalar prefetch
 
-    if chains == 2:
-        kernel = functools.partial(_reduce_kernel_dual, g_cap=g_cap,
-                                   na_max=na_max, step_budget=step_budget)
-        col_shape = (2, srows, LANES)
+    if chains >= 2:
+        kernel = functools.partial(_reduce_kernel_multi, g_cap=g_cap,
+                                   na_max=na_max, step_budget=step_budget,
+                                   chains=chains)
+        col_shape = (chains, srows, LANES)
     else:
         kernel = functools.partial(_reduce_kernel, g_cap=g_cap, na_max=na_max,
                                    step_budget=step_budget)
@@ -391,35 +393,41 @@ def h1_diagrams_pallas(dm: jnp.ndarray, n_pts: jnp.ndarray | None = None, *,
 
 
 # ─────────────────────────────────────────────────────────────────────────────
-# Dual-chain kernel for LARGE clouds (n ≤ 128: the audio 124-point windows)
+# Multi-chain kernel for LARGE clouds (n ≤ 128: the audio 124-point windows)
 # ─────────────────────────────────────────────────────────────────────────────
 # The per-window kernel is per-step LATENCY-bound (~300 dependent reduction
 # steps of ~1 µs at n=124); the window's creators are reduced strictly one
 # at a time.  Grouping WINDOWS per grid step is impossible at this size —
 # the stored-column arena (na_max × srows × LANES × 4 B ≈ 11.8 MB) already
-# fills VMEM.  But two creator chains of the SAME window can advance in one
+# fills VMEM.  But C creator chains of the SAME window can advance in one
 # step sharing that arena: per-step cost is one segmented pivot reduce for
-# both chains plus vectorized (2, srows, LANES) tile work, so total steps
-# drop toward half.
+# all chains plus vectorized (C, srows, LANES) tile work, so total steps
+# drop toward 1/C.
 #
 # Correctness under concurrency: a chain's XOR operands are (a) apparent
 # columns — fixed, order-independent — and (b) stored columns of FINISHED
 # creators, all earlier in creator order, so the implied reduction matrix
-# stays triangular.  The one ordering hazard is FINISHING: the younger
-# chain's candidate final pivot might still be claimed by the older chain's
-# eventual pair.  Gate: a chain may finish only while it is the OLDEST
-# active chain; otherwise it stalls (column unchanged) and re-checks — when
-# the older chain finishes and stores its column, the younger's pivot
-# lookup either matches it (XOR, continue) or doesn't (now oldest, finish).
-# At most one chain finishes per step, so the shared next-creator counter
-# advances by ≤ 1.
+# stays triangular.  The one ordering hazard is FINISHING: a younger
+# chain's candidate final pivot might still be claimed by an older chain's
+# eventual pair.  Gate: the OLDEST active chain may always finish; the
+# SECOND-oldest may finish alongside it iff the oldest is finishing too and
+# their final pivots differ (then every chain older than the second has its
+# pair determined this very step, and it is distinct).  All younger
+# finishers stall (column unchanged) and re-check — when the older chains'
+# columns store, the younger's pivot lookup either matches one (XOR,
+# continue) or doesn't (it is now oldest/second, finish).  Finishes are
+# ~1 in 9 steps on study windows, so capping simultaneous finishes at two
+# costs ~p² stalls while keeping the pairing proof two-chain simple.  The
+# shared next-creator counter advances by ≤ 2 per step; the older finisher
+# takes the lower creator index.
 
 
-def _reduce_kernel_dual(mcx_ref, packed_ref, out_ref, col, stored,
-                        *, g_cap: int, na_max: int, step_budget: int):
-    """TWO concurrent creator chains of one window (grid = windows).
+def _reduce_kernel_multi(mcx_ref, packed_ref, out_ref, col, stored,
+                         *, g_cap: int, na_max: int, step_budget: int,
+                         chains: int = 2):
+    """C concurrent creator chains of one window (grid = windows).
 
-    Same packed layout as `_reduce_kernel`; col is (2, srows, LANES)."""
+    Same packed layout as `_reduce_kernel`; col is (C, srows, LANES)."""
     srows = g_cap // 32
     t_srows = g_cap // LANES
     OFF_IUJU = LANES
@@ -427,7 +435,7 @@ def _reduce_kernel_dual(mcx_ref, packed_ref, out_ref, col, stored,
     OFF_APPT = OFF_NA + 1
     m_cx = mcx_ref[pl.program_id(0)]
     one = jnp.int32(1)
-    C = 2
+    C = chains
 
     s3 = jax.lax.broadcasted_iota(jnp.int32, (C, srows, LANES), 1)
     l3 = jax.lax.broadcasted_iota(jnp.int32, (C, srows, LANES), 2)
@@ -515,24 +523,24 @@ def _reduce_kernel_dual(mcx_ref, packed_ref, out_ref, col, stored,
         act_b = act_v > 0
         claimed = (own_app | own_na) & act_b
         fin = act_b & ~claimed
-        # the oldest active chain may always finish; the younger may finish
-        # ALONGSIDE it iff the older is finishing too and their final pivots
-        # differ (the only claim that could still reach the younger's pivot
-        # is the older's pair — checked explicitly here; equal pivots fall
-        # back to an own_na XOR next step).  Without this, finishes
-        # serialize at one per step and short chains cap the speedup.
+        # the oldest active chain may always finish; the SECOND-oldest may
+        # finish ALONGSIDE it iff the oldest is finishing too and their
+        # final pivots differ (the only claims that could still reach the
+        # second's pivot are older chains' pairs — all determined this very
+        # step and distinct; equal pivots fall back to an own_na XOR next
+        # step).  Younger finishers stall one step.  Without the two-wide
+        # window, finishes serialize at one per step and short chains cap
+        # the speedup.
         cur_eff = jnp.where(act_b, cur_v, BIG)
         oldest = cur_eff == jnp.min(cur_eff)
+        second = ~oldest & (cur_eff == jnp.min(
+            jnp.where(oldest, BIG, cur_eff)))
         allowed_old = fin & oldest
-
-        def swap01(x):
-            # chain-axis flip as static slices (Mosaic has no `rev`)
-            return jnp.concatenate([x[1:2], x[0:1]], axis=0)
-
-        other_fin = swap01(allowed_old)
-        other_key = swap01(jnp.where(nz_v, key_v, -1))
-        allowed = allowed_old | (fin & ~oldest & other_fin
-                                 & (jnp.where(nz_v, key_v, -1) != other_key))
+        old_any = jnp.sum(allowed_old.astype(jnp.int32)) > 0
+        keyc_v = jnp.where(nz_v, key_v, -1)
+        key_old = jnp.sum(jnp.where(allowed_old, keyc_v, 0))
+        allowed = allowed_old | (fin & second & old_any
+                                 & (keyc_v != key_old))
 
         # creator assignment rank: the older finisher takes next_k, a
         # simultaneous younger finisher takes next_k + 1

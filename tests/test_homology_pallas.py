@@ -271,8 +271,9 @@ def test_grouped_overflow_flags():
     assert np.array(o2["overflow"]).all()
 
 
-def test_dual_chain_parity():
-    """chains=2 (two concurrent creator chains sharing the stored arena)
+@pytest.mark.parametrize("chains", [2, 4])
+def test_multi_chain_parity(chains):
+    """chains=C (concurrent creator chains sharing the stored arena)
     == the XLA kernel bar-for-bar, incl. heavy stored-hit matrices and
     padded/degenerate windows."""
     rng = np.random.default_rng(0)
@@ -287,7 +288,7 @@ def test_dual_chain_parity():
         step_budget=16384).items()}
     b = {k: np.array(v) for k, v in h1_diagrams_pallas(
         dms, n=47, thresh=2.0, na_max=128, h1_max=128, step_budget=16384,
-        interpret=True, chains=2).items()}
+        interpret=True, chains=chains).items()}
     for i in range(8):
         ga, gb = _bars(a, i), _bars(b, i)
         assert len(ga) == len(gb)
@@ -316,7 +317,7 @@ def test_dual_chain_parity():
         step_budget=8192).items()}
     b = {k: np.array(v) for k, v in h1_diagrams_pallas(
         dms, npj, n=n, thresh=2.0, na_max=96, h1_max=96, step_budget=8192,
-        interpret=True, chains=2).items()}
+        interpret=True, chains=chains).items()}
     for i in range(4):
         ga, gb = _bars(a, i), _bars(b, i)
         assert len(ga) == len(gb)
@@ -343,7 +344,7 @@ def test_mosaic_lowering_device_free():
                   h1_max=96, step_budget=8192, group=8)
     export.export(jax.jit(f_g), platforms=["tpu"])(
         jax.ShapeDtypeStruct((16, 47, 47), jnp.float32))
-    for chains in (1, 2):
+    for chains in (1, 2, 4):
         f_d = partial(h1_diagrams_pallas, n=124, thresh=2.0, na_max=96,
                       h1_max=96, step_budget=8192, chains=chains)
         export.export(jax.jit(f_d), platforms=["tpu"])(
