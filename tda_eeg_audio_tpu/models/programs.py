@@ -791,18 +791,14 @@ PALLAS_NA_MAX = 96
 # 14.7 MB + packed buffers ≈ over budget).  EEG study windows measure
 # n_na ≤ 57; the rare exceedance overflow-flags and reroutes through the
 # exact redo paths as usual.
-GROUPED_NA_MAX = 64
-GROUPED_SIZE = 8
-# routing default for small-n EEG windows on TPU; env-overridable so the
-# A/B can flip without a code edit (scratch/bench_grouped.py measures it).
-# Stays "bitset" until the on-hardware A/B confirms the grouped win — the
-# round's official bench must never ride an unmeasured kernel.
-import os as _os
-
-EEG_SMALL_KERNEL = _os.environ.get("TDA_TPU_EEG_KERNEL", "bitset")
-# concurrent creator chains in the per-window audio kernel (1, 2 or 4);
-# flipped once scratch/bench_dual.py confirms the winner on hardware
-AUDIO_CHAINS = int(_os.environ.get("TDA_TPU_AUDIO_CHAINS", "1"))
+#
+# Routing defaults live in ..tuning: measurement-written tuning.json with
+# env-var overrides, conservative (bitset, chains=1) when unmeasured — the
+# round's official bench must never ride an unmeasured kernel.  The A/B
+# battery (scratch/measure_r4.sh → scratch/write_tuning.py) flips them only
+# after the flipped full-study bench beats the default end-to-end.
+from ..tuning import (AUDIO_CHAINS, EEG_SMALL_KERNEL,  # noqa: F401
+                      GROUPED_NA_MAX, GROUPED_SIZE)
 
 
 def h1_backend_auto(n: int) -> str:

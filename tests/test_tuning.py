@@ -1,0 +1,124 @@
+"""tuning.json contract: conservative defaults when absent, measured
+values when present, env override at import (tda_eeg_audio_tpu/tuning.py);
+plus the battery's promotion gates (scratch/write_tuning.py)."""
+import importlib
+import json
+import sys
+from pathlib import Path
+
+import tda_eeg_audio_tpu.tuning as tuning
+
+SCRATCH = Path(__file__).resolve().parents[1] / "scratch"
+
+
+def test_defaults_when_absent(monkeypatch, tmp_path):
+    monkeypatch.setattr(tuning, "_PATH", tmp_path / "tuning.json")
+    d = tuning._load()
+    assert d["eeg_small_kernel"] == "bitset" and d["audio_chains"] == 1
+
+
+def test_file_merges_over_defaults(monkeypatch, tmp_path):
+    p = tmp_path / "tuning.json"
+    p.write_text(json.dumps(dict(eeg_small_kernel="grouped",
+                                 audio_chains=4)))
+    monkeypatch.setattr(tuning, "_PATH", p)
+    d = tuning._load()
+    assert d["eeg_small_kernel"] == "grouped"
+    assert d["audio_chains"] == 4
+    assert d["grouped_size"] == 8          # unspecified keys keep defaults
+
+
+def test_corrupt_file_falls_back(monkeypatch, tmp_path):
+    p = tmp_path / "tuning.json"
+    p.write_text("{not json")
+    monkeypatch.setattr(tuning, "_PATH", p)
+    assert tuning._load() == tuning._DEFAULTS
+
+
+def test_env_overrides_file(monkeypatch, tmp_path):
+    p = tmp_path / "tuning.json"
+    p.write_text(json.dumps(dict(eeg_small_kernel="grouped",
+                                 audio_chains=2)))
+    monkeypatch.setattr(tuning, "_PATH", p)
+    monkeypatch.setenv("TDA_TPU_EEG_KERNEL", "bitset")
+    monkeypatch.setenv("TDA_TPU_AUDIO_CHAINS", "1")
+    # re-run the import-time resolution against the patched module state
+    data = tuning._load()
+    import os
+    assert os.environ.get("TDA_TPU_EEG_KERNEL",
+                          data["eeg_small_kernel"]) == "bitset"
+    assert int(os.environ.get("TDA_TPU_AUDIO_CHAINS",
+                              data["audio_chains"])) == 1
+
+
+def _wt():
+    sys.path.insert(0, str(SCRATCH))
+    try:
+        import write_tuning
+        return importlib.reload(write_tuning)
+    finally:
+        sys.path.pop(0)
+
+
+def test_promotion_gates(monkeypatch, tmp_path):
+    """grouped configs with excess overflow and multi-chain configs with a
+    bar-count mismatch must NOT be promoted; winners must."""
+    wt = _wt()
+    g = tmp_path / "grouped.out"
+    g.write_text(
+        "1024 study-shaped windows\n"
+        "xla lockstep  chunk= 256           0.1900 ms/win  bars=5000 "
+        "chk=1.0 ovf=0\n"
+        "grouped       g= 8 na_max= 64    0.1400 ms/win  bars=5000 "
+        "chk=1.0 ovf=3\n"
+        "grouped       g=16 na_max= 64    0.1200 ms/win  bars=5000 "
+        "chk=1.0 ovf=900\n")
+    d = tmp_path / "dual.out"
+    d.write_text(
+        "chains=1   0.4100 ms/win  steps=100 ovf=0 bars=7000\n"
+        "chains=2   0.2500 ms/win  steps=60 ovf=0 bars=7000\n"
+        "chains=4   0.2000 ms/win  steps=40 ovf=0 bars=6999\n")
+    monkeypatch.setattr(wt, "GROUPED_OUT", g)
+    monkeypatch.setattr(wt, "DUAL_OUT", d)
+    gc = wt.grouped_candidate()
+    assert gc["group"] == 8 and gc["na_max"] == 64   # not the 900-ovf g=16
+    cc = wt.chains_candidate()
+    assert cc["chains"] == 2                         # not the bar-mismatch 4
+
+    # slower candidates are not promoted at all
+    d.write_text("chains=1   0.2000 ms/win  steps=10 ovf=0 bars=7000\n"
+                 "chains=2   0.2500 ms/win  steps=6 ovf=0 bars=7000\n")
+    assert wt.chains_candidate() is None
+
+
+def test_apply_requires_end_to_end_win(monkeypatch, tmp_path, capsys):
+    """tuning.json is written only when the flipped full-study bench beats
+    the default; a regression leaves the file untouched."""
+    wt = _wt()
+    g = tmp_path / "grouped.out"
+    g.write_text("1024 study-shaped windows\n"
+                 "xla lockstep  chunk= 256           0.1900 ms/win  "
+                 "bars=5000 chk=1.0 ovf=0\n"
+                 "grouped       g= 8 na_max= 64    0.1400 ms/win  "
+                 "bars=5000 chk=1.0 ovf=0\n")
+    bd = tmp_path / "bd.out"
+    bf = tmp_path / "bf.out"
+    tj = tmp_path / "tuning.json"
+    monkeypatch.setattr(wt, "GROUPED_OUT", g)
+    monkeypatch.setattr(wt, "DUAL_OUT", tmp_path / "missing.out")
+    monkeypatch.setattr(wt, "BENCH_DEFAULT", bd)
+    monkeypatch.setattr(wt, "BENCH_FLIPPED", bf)
+    monkeypatch.setattr(wt, "TUNING", tj)
+    monkeypatch.setattr(sys, "argv", ["write_tuning.py", "--apply"])
+
+    bd.write_text('{"metric": "full_study_seconds", "value": 100.0}\n')
+    bf.write_text('{"metric": "full_study_seconds", "value": 110.0}\n')
+    wt.main()
+    assert not tj.exists()                           # regression → untouched
+
+    bf.write_text('{"metric": "full_study_seconds", "value": 90.0}\n')
+    wt.main()
+    data = json.loads(tj.read_text())
+    assert data["eeg_small_kernel"] == "grouped"
+    assert data["audio_chains"] == 1                 # no chains candidate
+    assert data["measured"]["full_study_flipped_s"] == 90.0
