@@ -121,7 +121,10 @@ def full_study(args) -> None:
                 if ds is None:
                     # backend + HBM ingest inside the loop: a transient
                     # tunnel outage on attempt 1 must not kill the bench
-                    _wait_for_backend(attempts=1 if args.smoke else 4)
+                    # (6 × 120 s ≈ half an hour of fighting: the r3/r4 axon
+                    # outages lasted hours, but shorter blips are common)
+                    _wait_for_backend(attempts=1 if args.smoke else 6,
+                                      backoff_s=120.0)
                     import jax
                     from tda_eeg_audio_tpu.io.device_store import \
                         build_synthetic_device
