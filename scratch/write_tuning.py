@@ -1,0 +1,147 @@
+"""Turn the r4 measurement battery's kernel A/Bs into tuning.json.
+
+Two modes, both driven by scratch/measure_r4.sh:
+
+  --candidates   parse the kernel-level A/B outputs (/tmp/r4_grouped.out,
+                 /tmp/r4_dual.out) and print env-var assignments for the
+                 configurations that BEAT the production defaults at the
+                 kernel level (empty output = nothing won, skip the
+                 flipped bench).
+  --apply        parse the default and flipped full-study bench outputs
+                 (/tmp/r4_bench_default.out, /tmp/r4_bench_flipped.out);
+                 write tda_eeg_audio_tpu/tuning.json with the candidate
+                 knobs ONLY if the flipped full-study number beats the
+                 default end-to-end (or the default produced no number).
+
+Validity gates: a grouped config must not add > 2% overflow windows vs
+the lockstep (overflows reroute through the exact redo path — correct but
+slow); a multi-chain config must reproduce chains=1's bar count exactly.
+"""
+import argparse
+import json
+import re
+import sys
+from pathlib import Path
+
+ROOT = Path(__file__).resolve().parents[1]
+GROUPED_OUT = Path("/tmp/r4_grouped.out")
+DUAL_OUT = Path("/tmp/r4_dual.out")
+BENCH_DEFAULT = Path("/tmp/r4_bench_default.out")
+BENCH_FLIPPED = Path("/tmp/r4_bench_flipped.out")
+TUNING = ROOT / "tda_eeg_audio_tpu" / "tuning.json"
+
+
+def _read(p: Path) -> str:
+    try:
+        return p.read_text()
+    except OSError:
+        return ""
+
+
+def grouped_candidate():
+    """Best (group, na_max) grouped config iff it beats the XLA lockstep."""
+    txt = _read(GROUPED_OUT)
+    m = re.search(r"(\d+) study-shaped windows", txt)
+    nw = int(m.group(1)) if m else 1024
+    lock = [(float(t), int(ovf)) for t, ovf in re.findall(
+        r"xla lockstep\s+chunk=\s*\d+\s+([\d.]+) ms/win.*?ovf=(\d+)", txt)]
+    grp = [(float(t), int(g), int(na), int(ovf)) for g, na, t, ovf in
+           re.findall(r"grouped\s+g=\s*(\d+) na_max=\s*(\d+)\s+([\d.]+)"
+                      r" ms/win.*?ovf=(\d+)", txt)]
+    if not lock or not grp:
+        return None
+    t_lock, ovf_lock = min(lock)
+    ok = [c for c in grp if c[3] <= ovf_lock + max(2, nw // 50)]
+    if not ok:
+        return None
+    t_g, g, na, _ = min(ok)
+    if t_g >= t_lock:
+        return None
+    return dict(group=g, na_max=na, ms_grouped=t_g, ms_lockstep=t_lock)
+
+
+def chains_candidate():
+    """Fastest chain count iff a multi-chain config beats chains=1 with
+    identical bar counts."""
+    txt = _read(DUAL_OUT)
+    runs = [(int(c), float(t), int(bars)) for c, t, bars in re.findall(
+        r"^chains=(\d+)\s+([\d.]+) ms/win.*?bars=(\d+)", txt, re.M)]
+    base = [r for r in runs if r[0] == 1]
+    if not base:
+        return None
+    _, t1, bars1 = base[0]
+    ok = [(t, c) for c, t, bars in runs if c > 1 and bars == bars1]
+    if not ok:
+        return None
+    t_best, c_best = min(ok)
+    if t_best >= t1:
+        return None
+    return dict(chains=c_best, ms=t_best, ms_single=t1)
+
+
+def bench_value(p: Path):
+    """Last full_study_seconds JSON line's value, or None."""
+    for line in reversed(_read(p).splitlines()):
+        line = line.strip()
+        if line.startswith("{"):
+            try:
+                d = json.loads(line)
+            except ValueError:
+                continue
+            if d.get("metric") == "full_study_seconds":
+                return d.get("value")
+    return None
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--candidates", action="store_true")
+    ap.add_argument("--apply", action="store_true")
+    args = ap.parse_args()
+    g = grouped_candidate()
+    c = chains_candidate()
+
+    if args.candidates:
+        parts = []
+        if g:
+            parts.append("TDA_TPU_EEG_KERNEL=grouped")
+        if c:
+            parts.append(f"TDA_TPU_AUDIO_CHAINS={c['chains']}")
+        print(" ".join(parts))
+        return
+
+    if args.apply:
+        if not (g or c):
+            print("write_tuning: no kernel-level winner; tuning.json untouched")
+            return
+        v_def = bench_value(BENCH_DEFAULT)
+        v_flip = bench_value(BENCH_FLIPPED)
+        if v_flip is None:
+            print(f"write_tuning: flipped bench has no number "
+                  f"(default={v_def}); tuning.json untouched")
+            return
+        if v_def is not None and v_flip >= v_def:
+            print(f"write_tuning: flipped {v_flip:.1f}s did not beat "
+                  f"default {v_def:.1f}s; tuning.json untouched")
+            return
+        data = dict(
+            eeg_small_kernel="grouped" if g else "bitset",
+            audio_chains=c["chains"] if c else 1,
+            measured=dict(kernel_ab=dict(grouped=g, chains=c),
+                          full_study_default_s=v_def,
+                          full_study_flipped_s=v_flip,
+                          source="scratch/measure_r4.sh battery"))
+        if g:
+            data["grouped_size"] = g["group"]
+            data["grouped_na_max"] = g["na_max"]
+        TUNING.write_text(json.dumps(data, indent=2) + "\n")
+        print(f"write_tuning: WROTE {TUNING} "
+              f"(flipped {v_flip:.1f}s vs default {v_def}s): "
+              f"{json.dumps({k: v for k, v in data.items() if k != 'measured'})}")
+        return
+
+    ap.error("pass --candidates or --apply")
+
+
+if __name__ == "__main__":
+    main()
