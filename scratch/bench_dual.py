@@ -57,6 +57,25 @@ def main():
             best = min(best, time.time() - t0)
         return best / dm.shape[0] * 1e3, out
 
+    def perwin(o):
+        """Per-window (bar count, order-invariant coord sum, ovf) — the
+        ON-DEVICE parity evidence the promotion gate requires (interpret-
+        mode tests cannot catch a Mosaic miscompile)."""
+        cnt = np.asarray(jnp.sum(o["mask"], axis=-1))
+        s = np.asarray(jnp.sum(jnp.where(
+            o["mask"], o["births"] + jnp.where(
+                jnp.isfinite(o["deaths"]), o["deaths"], 0.0), 0.0), axis=-1))
+        return cnt, s, np.asarray(o["overflow"])
+
+    def mism(o, ref):
+        c1, s1, v1 = perwin(o)
+        c2, s2, v2 = perwin(ref)
+        ok = ~(v1.astype(bool) | v2.astype(bool))
+        bad = ok & ((c1 != c2)
+                    | (np.abs(s1 - s2) > 1e-3 * np.maximum(np.abs(s2), 1.0)))
+        return int(bad.sum())
+
+    o_ref = None
     for chains in (1, 2, 4):
         def run(chains=chains):
             return h1_diagrams_pallas(dm, npt, n=P, thresh=2.0, na_max=96,
@@ -64,10 +83,13 @@ def main():
                                       chains=chains)
         try:
             t, o = timed(run)
+            if o_ref is None:
+                o_ref = o
             print(f"chains={chains}  {t:7.4f} ms/win  steps="
                   f"{int(np.asarray(o['steps']))} "
                   f"ovf={int(np.asarray(jnp.sum(o['overflow'])))} "
-                  f"bars={int(np.asarray(jnp.sum(o['mask'])))}", flush=True)
+                  f"bars={int(np.asarray(jnp.sum(o['mask'])))} "
+                  f"mism={mism(o, o_ref)}", flush=True)
         except Exception as e:
             print(f"chains={chains}: FAILED {type(e).__name__}: "
                   f"{str(e)[:300]}", flush=True)

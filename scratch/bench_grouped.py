@@ -55,7 +55,30 @@ def main():
             jnp.where(o["mask"], o["births"] + jnp.where(
                 jnp.isfinite(o["deaths"]), o["deaths"], 0.0), 0.0)))
 
+    def perwin(o):
+        """Per-window (visible-bar count, order-invariant coord sum, ovf) —
+        ON-DEVICE parity evidence: the CPU interpret-mode tests cannot catch
+        a Mosaic miscompile, so the A/B itself must prove the candidate
+        reproduces the lockstep's diagrams on hardware."""
+        cnt = np.asarray(jnp.sum(o["mask"], axis=-1))
+        s = np.asarray(jnp.sum(jnp.where(
+            o["mask"], o["births"] + jnp.where(
+                jnp.isfinite(o["deaths"]), o["deaths"], 0.0), 0.0), axis=-1))
+        return cnt, s, np.asarray(o["overflow"])
+
+    def mism(o, ref):
+        """# windows whose diagrams differ from the reference's, excluding
+        windows either side overflow-flagged (those reroute to exact redo
+        in production)."""
+        c1, s1, v1 = perwin(o)
+        c2, s2, v2 = perwin(ref)
+        ok = ~(v1.astype(bool) | v2.astype(bool))
+        bad = ok & ((c1 != c2)
+                    | (np.abs(s1 - s2) > 1e-3 * np.maximum(np.abs(s2), 1.0)))
+        return int(bad.sum())
+
     # production XLA lockstep at the study chunk sizes
+    o_ref = None
     for chunk in (256, 128):
         def run_x(chunk=chunk):
             outs = [h1_diagrams(dm[c:c + chunk], n=47, thresh=2.0,
@@ -65,6 +88,8 @@ def main():
                     if outs[0][k].ndim else outs[0][k] for k in
                     ("births", "deaths", "mask", "overflow")}
         t, o = timed(run_x)
+        if o_ref is None:
+            o_ref = o
         print(f"xla lockstep  chunk={chunk:4d}          {t:7.4f} ms/win  "
               f"bars={vis(o)[0]} chk={vis(o)[1]:.3f} "
               f"ovf={np.asarray(jnp.sum(o['overflow']))}", flush=True)
@@ -82,7 +107,8 @@ def main():
             t, o = timed(run_g)
             print(f"grouped       g={group:2d} na_max={na:3d}   {t:7.4f} "
                   f"ms/win  bars={vis(o)[0]} chk={vis(o)[1]:.3f} "
-                  f"ovf={np.asarray(jnp.sum(o['overflow']))}", flush=True)
+                  f"ovf={np.asarray(jnp.sum(o['overflow']))} "
+                  f"mism={mism(o, o_ref)}", flush=True)
         except Exception as e:
             print(f"grouped g={group} na={na}: FAILED {type(e).__name__}: "
                   f"{str(e)[:200]}", flush=True)

@@ -15,7 +15,10 @@ Two modes, both driven by scratch/measure_r4.sh:
 
 Validity gates: a grouped config must not add > 2% overflow windows vs
 the lockstep (overflows reroute through the exact redo path — correct but
-slow); a multi-chain config must reproduce chains=1's bar count exactly.
+slow) and must report mism=0 per-window ON-DEVICE diagram parity vs the
+lockstep (interpret-mode tests cannot catch a Mosaic miscompile); a
+multi-chain config must reproduce chains=1's bar count exactly and report
+mism=0 vs chains=1.
 """
 import argparse
 import json
@@ -45,16 +48,20 @@ def grouped_candidate():
     nw = int(m.group(1)) if m else 1024
     lock = [(float(t), int(ovf)) for t, ovf in re.findall(
         r"xla lockstep\s+chunk=\s*\d+\s+([\d.]+) ms/win.*?ovf=(\d+)", txt)]
-    grp = [(float(t), int(g), int(na), int(ovf)) for g, na, t, ovf in
+    grp = [(float(t), int(g), int(na), int(ovf), int(mm))
+           for g, na, t, ovf, mm in
            re.findall(r"grouped\s+g=\s*(\d+) na_max=\s*(\d+)\s+([\d.]+)"
-                      r" ms/win.*?ovf=(\d+)", txt)]
+                      r" ms/win.*?ovf=(\d+) mism=(\d+)", txt)]
     if not lock or not grp:
         return None
     t_lock, ovf_lock = min(lock)
-    ok = [c for c in grp if c[3] <= ovf_lock + max(2, nw // 50)]
+    # gates: bounded extra overflow AND exact on-device diagram parity with
+    # the lockstep on every non-overflow window
+    ok = [c for c in grp
+          if c[3] <= ovf_lock + max(2, nw // 50) and c[4] == 0]
     if not ok:
         return None
-    t_g, g, na, _ = min(ok)
+    t_g, g, na, _, _ = min(ok)
     if t_g >= t_lock:
         return None
     return dict(group=g, na_max=na, ms_grouped=t_g, ms_lockstep=t_lock)
@@ -64,13 +71,16 @@ def chains_candidate():
     """Fastest chain count iff a multi-chain config beats chains=1 with
     identical bar counts."""
     txt = _read(DUAL_OUT)
-    runs = [(int(c), float(t), int(bars)) for c, t, bars in re.findall(
-        r"^chains=(\d+)\s+([\d.]+) ms/win.*?bars=(\d+)", txt, re.M)]
+    runs = [(int(c), float(t), int(bars), int(mm))
+            for c, t, bars, mm in re.findall(
+                r"^chains=(\d+)\s+([\d.]+) ms/win.*?bars=(\d+) mism=(\d+)",
+                txt, re.M)]
     base = [r for r in runs if r[0] == 1]
     if not base:
         return None
-    _, t1, bars1 = base[0]
-    ok = [(t, c) for c, t, bars in runs if c > 1 and bars == bars1]
+    _, t1, bars1, _ = base[0]
+    ok = [(t, c) for c, t, bars, mm in runs
+          if c > 1 and bars == bars1 and mm == 0]
     if not ok:
         return None
     t_best, c_best = min(ok)

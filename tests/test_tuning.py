@@ -61,8 +61,9 @@ def _wt():
 
 
 def test_promotion_gates(monkeypatch, tmp_path):
-    """grouped configs with excess overflow and multi-chain configs with a
-    bar-count mismatch must NOT be promoted; winners must."""
+    """grouped configs with excess overflow or on-device diagram mismatch,
+    and multi-chain configs with a bar-count/per-window mismatch, must NOT
+    be promoted; winners must."""
     wt = _wt()
     g = tmp_path / "grouped.out"
     g.write_text(
@@ -70,25 +71,37 @@ def test_promotion_gates(monkeypatch, tmp_path):
         "xla lockstep  chunk= 256           0.1900 ms/win  bars=5000 "
         "chk=1.0 ovf=0\n"
         "grouped       g= 8 na_max= 64    0.1400 ms/win  bars=5000 "
-        "chk=1.0 ovf=3\n"
+        "chk=1.0 ovf=3 mism=0\n"
         "grouped       g=16 na_max= 64    0.1200 ms/win  bars=5000 "
-        "chk=1.0 ovf=900\n")
+        "chk=1.0 ovf=900 mism=0\n"
+        "grouped       g=12 na_max= 64    0.1000 ms/win  bars=5000 "
+        "chk=1.0 ovf=0 mism=4\n")
     d = tmp_path / "dual.out"
     d.write_text(
-        "chains=1   0.4100 ms/win  steps=100 ovf=0 bars=7000\n"
-        "chains=2   0.2500 ms/win  steps=60 ovf=0 bars=7000\n"
-        "chains=4   0.2000 ms/win  steps=40 ovf=0 bars=6999\n")
+        "chains=1   0.4100 ms/win  steps=100 ovf=0 bars=7000 mism=0\n"
+        "chains=2   0.2500 ms/win  steps=60 ovf=0 bars=7000 mism=0\n"
+        "chains=4   0.2000 ms/win  steps=40 ovf=0 bars=6999 mism=12\n")
     monkeypatch.setattr(wt, "GROUPED_OUT", g)
     monkeypatch.setattr(wt, "DUAL_OUT", d)
     gc = wt.grouped_candidate()
-    assert gc["group"] == 8 and gc["na_max"] == 64   # not the 900-ovf g=16
+    # not the 900-ovf g=16 and not the FASTEST-but-mismatching g=12
+    assert gc["group"] == 8 and gc["na_max"] == 64
     cc = wt.chains_candidate()
-    assert cc["chains"] == 2                         # not the bar-mismatch 4
+    assert cc["chains"] == 2                         # not the mismatching 4
 
     # slower candidates are not promoted at all
-    d.write_text("chains=1   0.2000 ms/win  steps=10 ovf=0 bars=7000\n"
-                 "chains=2   0.2500 ms/win  steps=6 ovf=0 bars=7000\n")
+    d.write_text("chains=1   0.2000 ms/win  steps=10 ovf=0 bars=7000 mism=0\n"
+                 "chains=2   0.2500 ms/win  steps=6 ovf=0 bars=7000 mism=0\n")
     assert wt.chains_candidate() is None
+
+    # pre-parity legacy output (no mism field) must never promote
+    g.write_text(
+        "1024 study-shaped windows\n"
+        "xla lockstep  chunk= 256           0.1900 ms/win  bars=5000 "
+        "chk=1.0 ovf=0\n"
+        "grouped       g= 8 na_max= 64    0.1400 ms/win  bars=5000 "
+        "chk=1.0 ovf=0\n")
+    assert wt.grouped_candidate() is None
 
 
 def test_apply_requires_end_to_end_win(monkeypatch, tmp_path, capsys):
@@ -100,7 +113,7 @@ def test_apply_requires_end_to_end_win(monkeypatch, tmp_path, capsys):
                  "xla lockstep  chunk= 256           0.1900 ms/win  "
                  "bars=5000 chk=1.0 ovf=0\n"
                  "grouped       g= 8 na_max= 64    0.1400 ms/win  "
-                 "bars=5000 chk=1.0 ovf=0\n")
+                 "bars=5000 chk=1.0 ovf=0 mism=0\n")
     bd = tmp_path / "bd.out"
     bf = tmp_path / "bf.out"
     tj = tmp_path / "tuning.json"
