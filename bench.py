@@ -115,6 +115,7 @@ def full_study(args) -> None:
     ds = None
     t_ingest = None
     last_err = None
+    backend_up = False
     with tempfile.TemporaryDirectory() as td:
         for rep in range(max(args.repeats, 1)):
             try:
@@ -125,6 +126,7 @@ def full_study(args) -> None:
                     # outages lasted hours, but shorter blips are common)
                     _wait_for_backend(attempts=1 if args.smoke else 6,
                                       backoff_s=120.0)
+                    backend_up = True
                     import jax
                     from tda_eeg_audio_tpu.io.device_store import \
                         build_synthetic_device
@@ -162,8 +164,12 @@ def full_study(args) -> None:
                 traceback.print_exc(file=sys.stderr)
                 print(f"repeat {rep} aborted; {len(runs)} completed "
                       f"repeat(s) so far", file=sys.stderr)
-                if ds is None:
+                if not backend_up:
                     break  # backend never came up — no point repeating
+                # a transient failure AFTER the backend probe succeeded
+                # (ingest blip, mid-repeat tunnel drop): retry on the
+                # remaining repeats — ds stays None, so the next repeat
+                # re-probes and re-ingests
                 continue
             runs.append(dict(total=round(time.time() - t0, 1),
                              features_s=round(t_feat, 1),

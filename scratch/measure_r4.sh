@@ -49,7 +49,9 @@ persist
 CAND=$(python scratch/write_tuning.py --candidates)
 if [ -n "$CAND" ]; then
   echo "--- 7. full-study bench with measured kernel winners: $CAND" >> $LOG
-  env $CAND timeout 5400 python bench.py --repeats 2 \
+  # same repeat count as the default bench: min-of-N vs min-of-M on a
+  # ±50%-variance worker would bias the promotion decision
+  env $CAND timeout 5400 python bench.py --repeats 3 \
       > /tmp/r4_bench_flipped.out 2>&1
   cat /tmp/r4_bench_flipped.out >> $LOG
   python scratch/write_tuning.py --apply >> $LOG 2>&1

@@ -89,8 +89,8 @@ def chains_candidate():
     return dict(chains=c_best, ms=t_best, ms_single=t1)
 
 
-def bench_value(p: Path):
-    """Last full_study_seconds JSON line's value, or None."""
+def bench_record(p: Path):
+    """Last full_study_seconds JSON line as a dict, or None."""
     for line in reversed(_read(p).splitlines()):
         line = line.strip()
         if line.startswith("{"):
@@ -99,8 +99,13 @@ def bench_value(p: Path):
             except ValueError:
                 continue
             if d.get("metric") == "full_study_seconds":
-                return d.get("value")
+                return d
     return None
+
+
+def bench_value(p: Path):
+    d = bench_record(p)
+    return d.get("value") if d else None
 
 
 def main():
@@ -112,9 +117,13 @@ def main():
     c = chains_candidate()
 
     if args.candidates:
+        # the flipped full-study bench must run the EXACT winning shape,
+        # not the module defaults — emit every knob the winner pins
         parts = []
         if g:
             parts.append("TDA_TPU_EEG_KERNEL=grouped")
+            parts.append(f"TDA_TPU_GROUPED_SIZE={g['group']}")
+            parts.append(f"TDA_TPU_GROUPED_NA_MAX={g['na_max']}")
         if c:
             parts.append(f"TDA_TPU_AUDIO_CHAINS={c['chains']}")
         print(" ".join(parts))
@@ -125,10 +134,19 @@ def main():
             print("write_tuning: no kernel-level winner; tuning.json untouched")
             return
         v_def = bench_value(BENCH_DEFAULT)
-        v_flip = bench_value(BENCH_FLIPPED)
+        flip = bench_record(BENCH_FLIPPED)
+        v_flip = flip.get("value") if flip else None
         if v_flip is None:
             print(f"write_tuning: flipped bench has no number "
                   f"(default={v_def}); tuning.json untouched")
+            return
+        if flip.get("ok") is False:
+            # bench.py reports degraded runs (wrong feature width,
+            # incomplete rows) as ok=false instead of asserting — a fast
+            # number from a degraded run must never promote a kernel
+            print(f"write_tuning: flipped bench reported ok=false "
+                  f"(checks={flip.get('detail', {}).get('checks')}); "
+                  f"tuning.json untouched")
             return
         if v_def is not None and v_flip >= v_def:
             print(f"write_tuning: flipped {v_flip:.1f}s did not beat "

@@ -2,17 +2,20 @@
 
 `tuning.json` (next to this file) is written by the on-hardware A/B
 battery (`scratch/write_tuning.py`, driven by `scratch/measure_r4.sh`)
-ONLY after (a) the candidate kernels win their kernel-level A/B and
-(b) a full-study bench with the flipped configuration beats the default
-configuration end-to-end — so the production defaults ride measurements,
-never guesses (VERDICT r3 weak #3: the routing constants must be
-evidence-backed).  All tuned kernels are bar-for-bar parity-tested
-against the exact oracle regardless of routing (tests/
-test_homology_pallas.py), so tuning can only change speed, not results.
+ONLY after (a) the candidate kernels win their kernel-level A/B with
+mism=0 on-device diagram parity and (b) a full-study bench with the
+flipped configuration beats the default configuration end-to-end — so
+the production defaults ride measurements, never guesses (VERDICT r3
+weak #3: the routing constants must be evidence-backed).  All tuned
+kernels are bar-for-bar parity-tested against the exact oracle
+regardless of routing (tests/test_homology_pallas.py), so tuning can
+only change speed, not results.
 
 Environment variables override the file (the A/B scripts use them to
 flip a candidate without editing the tree); conservative defaults apply
-when the file is absent.
+when the file is absent, malformed, or holds non-coercible values —
+a corrupt tuning.json must degrade to the defaults, never break the
+package import.
 """
 
 from __future__ import annotations
@@ -33,21 +36,36 @@ _DEFAULTS = dict(
     audio_chains=1,
 )
 
-_PATH = Path(__file__).with_name("tuning.json")
+_PATH = Path(os.environ.get("TDA_TPU_TUNING_FILE",
+                            Path(__file__).with_name("tuning.json")))
 
 
 def _load() -> dict:
     try:
-        return {**_DEFAULTS, **json.loads(_PATH.read_text())}
-    except (OSError, ValueError):
+        data = json.loads(_PATH.read_text())
+        if not isinstance(data, dict):
+            return dict(_DEFAULTS)
+        merged = {**_DEFAULTS, **data}
+        # coerce eagerly: a single bad value degrades the WHOLE file to
+        # the defaults (a partial battery write must not ship half a
+        # configuration)
+        return dict(
+            eeg_small_kernel=str(merged["eeg_small_kernel"]),
+            grouped_size=int(merged["grouped_size"]),
+            grouped_na_max=int(merged["grouped_na_max"]),
+            audio_chains=int(merged["audio_chains"]),
+        )
+    except (OSError, ValueError, TypeError):
         return dict(_DEFAULTS)
 
 
 _DATA = _load()
 
 EEG_SMALL_KERNEL = os.environ.get("TDA_TPU_EEG_KERNEL",
-                                  str(_DATA["eeg_small_kernel"]))
-GROUPED_SIZE = int(_DATA["grouped_size"])
-GROUPED_NA_MAX = int(_DATA["grouped_na_max"])
+                                  _DATA["eeg_small_kernel"])
+GROUPED_SIZE = int(os.environ.get("TDA_TPU_GROUPED_SIZE",
+                                  _DATA["grouped_size"]))
+GROUPED_NA_MAX = int(os.environ.get("TDA_TPU_GROUPED_NA_MAX",
+                                    _DATA["grouped_na_max"]))
 AUDIO_CHAINS = int(os.environ.get("TDA_TPU_AUDIO_CHAINS",
                                   _DATA["audio_chains"]))

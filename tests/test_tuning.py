@@ -35,20 +35,44 @@ def test_corrupt_file_falls_back(monkeypatch, tmp_path):
     assert tuning._load() == tuning._DEFAULTS
 
 
-def test_env_overrides_file(monkeypatch, tmp_path):
+def test_non_object_json_falls_back(monkeypatch, tmp_path):
+    p = tmp_path / "tuning.json"
+    p.write_text("[1, 2]")                    # valid JSON, wrong shape
+    monkeypatch.setattr(tuning, "_PATH", p)
+    assert tuning._load() == tuning._DEFAULTS
+
+
+def test_bad_value_degrades_whole_file(monkeypatch, tmp_path):
     p = tmp_path / "tuning.json"
     p.write_text(json.dumps(dict(eeg_small_kernel="grouped",
-                                 audio_chains=2)))
+                                 grouped_size="not-a-number")))
     monkeypatch.setattr(tuning, "_PATH", p)
+    # a partial/corrupt battery write must not ship half a configuration
+    assert tuning._load() == tuning._DEFAULTS
+
+
+def test_env_overrides_file(monkeypatch, tmp_path):
+    """The REAL import-time resolution: env beats file beats defaults —
+    exercised by reloading the module (the A/B battery flips candidates
+    via these env vars; a typo'd name would silently bench the default
+    kernels)."""
+    p = tmp_path / "tuning.json"
+    p.write_text(json.dumps(dict(eeg_small_kernel="grouped",
+                                 audio_chains=2, grouped_size=12,
+                                 grouped_na_max=96)))
+    monkeypatch.setenv("TDA_TPU_TUNING_FILE", str(p))
     monkeypatch.setenv("TDA_TPU_EEG_KERNEL", "bitset")
     monkeypatch.setenv("TDA_TPU_AUDIO_CHAINS", "1")
-    # re-run the import-time resolution against the patched module state
-    data = tuning._load()
-    import os
-    assert os.environ.get("TDA_TPU_EEG_KERNEL",
-                          data["eeg_small_kernel"]) == "bitset"
-    assert int(os.environ.get("TDA_TPU_AUDIO_CHAINS",
-                              data["audio_chains"])) == 1
+    monkeypatch.setenv("TDA_TPU_GROUPED_SIZE", "16")
+    try:
+        importlib.reload(tuning)
+        assert tuning.EEG_SMALL_KERNEL == "bitset"      # env beats file
+        assert tuning.AUDIO_CHAINS == 1                 # env beats file
+        assert tuning.GROUPED_SIZE == 16                # env beats file
+        assert tuning.GROUPED_NA_MAX == 96              # file beats default
+    finally:
+        monkeypatch.undo()
+        importlib.reload(tuning)                        # restore module state
 
 
 def _wt():
@@ -129,9 +153,27 @@ def test_apply_requires_end_to_end_win(monkeypatch, tmp_path, capsys):
     wt.main()
     assert not tj.exists()                           # regression → untouched
 
-    bf.write_text('{"metric": "full_study_seconds", "value": 90.0}\n')
+    # a FAST flipped run whose sanity checks failed must not promote
+    bf.write_text('{"metric": "full_study_seconds", "value": 90.0, '
+                  '"ok": false}\n')
+    wt.main()
+    assert not tj.exists()
+
+    bf.write_text('{"metric": "full_study_seconds", "value": 90.0, '
+                  '"ok": true}\n')
     wt.main()
     data = json.loads(tj.read_text())
     assert data["eeg_small_kernel"] == "grouped"
     assert data["audio_chains"] == 1                 # no chains candidate
     assert data["measured"]["full_study_flipped_s"] == 90.0
+
+    # the winning grouped SHAPE must ride into the flipped bench's env
+    monkeypatch.setattr(sys, "argv", ["write_tuning.py", "--candidates"])
+    import io
+    from contextlib import redirect_stdout
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        wt.main()
+    assert buf.getvalue().split() == [
+        "TDA_TPU_EEG_KERNEL=grouped", "TDA_TPU_GROUPED_SIZE=8",
+        "TDA_TPU_GROUPED_NA_MAX=64"]
