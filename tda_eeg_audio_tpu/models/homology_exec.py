@@ -83,44 +83,18 @@ def run_tda(dms, thresh: float, backend: str = "device",
         out["deaths"] = np.where(out["mask"], out["deaths"], 0.0)
         return _features_from(out, n, n_pts)
 
-    if backend == "auto":
-        from .programs import h1_backend_auto
+    # ONE routing point for the whole package (programs.h1_diagrams_routed):
+    # backend resolution, off-TPU fallback, Mosaic arena clamps and the
+    # tuned knobs are shared with the fused-program dispatch sites
+    from .programs import h1_diagrams_routed
 
-        routed = h1_backend_auto(n)
-        backend = routed if routed in ("pallas", "grouped") else "device"
+    routed_backend = "bitset" if backend == "device" else backend
 
-    if backend in ("pallas", "grouped"):
-        import jax
-
-        if jax.default_backend() != "tpu":
-            # Mosaic kernels only compile for TPU; honor the intent with
-            # the portable kernel rather than failing obscurely
-            backend = "device"
-
-    if backend == "pallas":
-        from ..ops.homology_pallas import h1_diagrams_pallas
-        from .programs import PALLAS_NA_MAX
-
-        def h1_call(blk, npts):
-            return h1_diagrams_pallas(
-                blk, npts, n=n, thresh=thresh,
-                na_max=min(na_max, PALLAS_NA_MAX), h1_max=na_max,
-                step_budget=max(step_budget, 8192))
-    elif backend == "grouped":
-        from ..ops.homology_pallas import h1_diagrams_pallas_grouped
-        from .programs import GROUPED_NA_MAX, GROUPED_SIZE
-
-        def h1_call(blk, npts):
-            return h1_diagrams_pallas_grouped(
-                blk, npts, n=n, thresh=thresh,
-                na_max=min(na_max, GROUPED_NA_MAX), h1_max=na_max,
-                step_budget=max(step_budget, 8192), group=GROUPED_SIZE)
-    else:
-        from ..ops.homology_h1 import h1_diagrams
-
-        def h1_call(blk, npts):
-            return h1_diagrams(blk, npts, n=n, thresh=thresh, na_max=na_max,
-                               h1_max=na_max, step_budget=step_budget)
+    def h1_call(blk, npts):
+        return h1_diagrams_routed(blk, npts, n=n, thresh=thresh,
+                                  na_max=na_max, h1_max=na_max,
+                                  step_budget=step_budget,
+                                  backend=routed_backend)
 
     keys = ("births", "deaths", "mask", "h0_deaths", "h0_mask", "n_essential",
             "n_tree", "overflow")

@@ -96,22 +96,9 @@ def window_tda_features(dm: jnp.ndarray, thresh: float = 2.0, na_max: int = 128,
     lockstep otherwise.
     """
     n = dm.shape[-1]
-    if backend == "auto":
-        backend = h1_backend_auto(n)
-    if backend == "grouped":
-        import jax as _jax
-
-        if _jax.default_backend() != "tpu":
-            backend = "bitset"
-    if backend == "grouped":
-        from ..ops.homology_pallas import h1_diagrams_pallas_grouped
-
-        out = h1_diagrams_pallas_grouped(
-            dm, n=n, thresh=thresh, na_max=min(na_max, GROUPED_NA_MAX),
-            h1_max=h1_max, step_budget=step_budget, group=GROUPED_SIZE)
-    else:
-        out = h1_diagrams(dm, n=n, thresh=thresh, na_max=na_max,
-                          h1_max=h1_max, step_budget=step_budget)
+    out = h1_diagrams_routed(dm, n=n, thresh=thresh, na_max=na_max,
+                             h1_max=h1_max, step_budget=step_budget,
+                             backend=backend)
     # H0: finite deaths from the in-kernel MST; one essential class per
     # component (EEG windows are connected at thresh → exactly 1)
     n_comp = (n - out["n_tree"]).astype(jnp.int32)
@@ -819,6 +806,50 @@ def h1_backend_auto(n: int) -> str:
         else "bitset"
 
 
+def h1_diagrams_routed(dm, n_pts=None, *, n: int, thresh: float,
+                       na_max: int, h1_max: int, step_budget: int,
+                       backend: str = "auto"):
+    """THE routing point for every H1 dispatch in the package.
+
+    Every caller (window_tda_features, audio_window_diagrams,
+    homology_exec.run_tda) goes through here so the backend resolution,
+    the off-TPU fallback, the Mosaic arena clamps and the tuned knobs
+    (AUDIO_CHAINS, GROUPED_SIZE/GROUPED_NA_MAX) can never diverge
+    between pipeline stages.  The Mosaic kernels' step budget counts
+    PER-WINDOW reduction steps (the lockstep's counts the chunk's
+    max-chain), so it is floored at their measured default (8192) —
+    the A/B battery benchmarks them at that budget, and a smaller
+    production budget would overflow windows the A/B never saw.
+    """
+    if backend == "auto":
+        backend = h1_backend_auto(n)
+    if backend in ("pallas", "grouped"):
+        import jax
+
+        if jax.default_backend() != "tpu":
+            # Mosaic kernels only compile for TPU; honor the intent with
+            # the portable kernel rather than failing obscurely
+            backend = "bitset"
+    if n_pts is not None:
+        n_pts = n_pts.astype(jnp.int32)
+    if backend == "pallas":
+        from ..ops.homology_pallas import h1_diagrams_pallas
+
+        return h1_diagrams_pallas(
+            dm, n_pts, n=n, thresh=thresh,
+            na_max=min(na_max, PALLAS_NA_MAX), h1_max=h1_max,
+            step_budget=max(step_budget, 8192), chains=AUDIO_CHAINS)
+    if backend == "grouped":
+        from ..ops.homology_pallas import h1_diagrams_pallas_grouped
+
+        return h1_diagrams_pallas_grouped(
+            dm, n_pts, n=n, thresh=thresh,
+            na_max=min(na_max, GROUPED_NA_MAX), h1_max=h1_max,
+            step_budget=max(step_budget, 8192), group=GROUPED_SIZE)
+    return h1_diagrams(dm, n_pts, n=n, thresh=thresh, na_max=na_max,
+                       h1_max=h1_max, step_budget=step_budget)
+
+
 @partial(jax.jit, static_argnames=("thresh", "na_max", "h1_max", "step_budget",
                                    "backend"))
 def audio_window_diagrams(dm: jnp.ndarray, n_pts: jnp.ndarray,
@@ -834,33 +865,9 @@ def audio_window_diagrams(dm: jnp.ndarray, n_pts: jnp.ndarray,
     trace time (single-platform processes; tests force one platform first).
     """
     n = dm.shape[-1]
-    if backend == "auto":
-        backend = h1_backend_auto(n)
-    if backend in ("pallas", "grouped"):
-        import jax
-
-        if jax.default_backend() != "tpu":
-            # Mosaic kernels only compile for TPU; honor the intent with
-            # the portable kernel rather than failing obscurely
-            backend = "bitset"
-    if backend == "pallas":
-        from ..ops.homology_pallas import h1_diagrams_pallas
-
-        out = h1_diagrams_pallas(
-            dm, n_pts.astype(jnp.int32), n=n, thresh=thresh,
-            na_max=min(na_max, PALLAS_NA_MAX), h1_max=h1_max,
-            step_budget=step_budget, chains=AUDIO_CHAINS)
-    elif backend == "grouped":
-        from ..ops.homology_pallas import h1_diagrams_pallas_grouped
-
-        out = h1_diagrams_pallas_grouped(
-            dm, n_pts.astype(jnp.int32), n=n, thresh=thresh,
-            na_max=min(na_max, GROUPED_NA_MAX), h1_max=h1_max,
-            step_budget=step_budget, group=GROUPED_SIZE)
-    else:
-        out = h1_diagrams(dm, n_pts.astype(jnp.int32), n=n,
-                          thresh=thresh, na_max=na_max,
-                          h1_max=h1_max, step_budget=step_budget)
+    out = h1_diagrams_routed(dm, n_pts, n=n, thresh=thresh, na_max=na_max,
+                             h1_max=h1_max, step_budget=step_budget,
+                             backend=backend)
     degenerate = n_pts < 3
     # H0: essential = components among valid points = n_pts − n_tree
     n_comp = (n_pts - out["n_tree"]).astype(jnp.int32)
