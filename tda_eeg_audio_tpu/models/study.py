@@ -1101,6 +1101,27 @@ class StudyRunner:
                       f"({time.time() - t0:.0f}s)")
         return rows
 
+    @staticmethod
+    def _masked_delta_batch(deltas_by_band):
+        """{band: per-subject delta list} → masked (NB, n_max) batch for the
+        device stats (ONE dispatch for all bands instead of one per band —
+        each dispatch+sync costs ~0.1-0.3 s of tunnel round-trip latency).
+
+        Bands with < 5 subjects get a placeholder True at column 0 so the
+        batched stat stays well-defined; callers skip those bands, so the
+        placeholder result is never read."""
+        n_max = max(1, *(len(v) for v in deltas_by_band.values()))
+        D = np.zeros((len(BAND_NAMES), n_max), np.float32)
+        M = np.zeros((len(BAND_NAMES), n_max), bool)
+        for bi_, band in enumerate(BAND_NAMES):
+            v = deltas_by_band[band]
+            if len(v) < 5:
+                M[bi_, 0] = True     # placeholder row; result unused
+                continue
+            D[bi_, :len(v)] = v
+            M[bi_, :len(v)] = True
+        return D, M
+
     def _comparison_stats(self, rows, n_perm) -> dict:
         """Band statistics — reference tda_eeg_audio_comparison.py:161-221."""
         stats_out = {}
@@ -1110,11 +1131,9 @@ class StudyRunner:
         for r in rows:
             per[r["band"]][(r["subject"], r["condition"])].append(r)
         # per-band deltas gathered into ONE masked (5, n_max) batch so the
-        # whole stats block costs 4 device dispatches instead of 25 — each
-        # dispatch+sync costs ~0.1-0.3 s of round-trip latency on this
-        # deployment's tunnel, which dominated this host-side stage
+        # whole stats block costs 4 device dispatches instead of 25
+        # (_masked_delta_batch)
         band_data = {}
-        n_max = 1
         for band in BAND_NAMES:
             groups = per[band]
             means = {}
@@ -1127,23 +1146,16 @@ class StudyRunner:
             subs = sorted({s for (s, c) in means if (s, "slow") in means
                            and (s, "fast") in means})
             band_data[band] = (means, subs)
-            n_max = max(n_max, len(subs))
-        NB = len(BAND_NAMES)
-        D0 = np.zeros((NB, n_max), np.float32)
-        D1 = np.zeros((NB, n_max), np.float32)
-        DC = np.zeros((NB, n_max), np.float32)
-        M = np.zeros((NB, n_max), bool)
-        for bi_, band in enumerate(BAND_NAMES):
-            means, subs = band_data[band]
-            if len(subs) < 5:
-                M[bi_, 0] = True     # placeholder row; result unused
-                continue
-            for si, s in enumerate(subs):
-                D0[bi_, si] = means[(s, "slow")]["h0"] - means[(s, "fast")]["h0"]
-                D1[bi_, si] = means[(s, "slow")]["h1"] - means[(s, "fast")]["h1"]
-                DC[bi_, si] = (means[(s, "slow")]["corr"]
-                               - means[(s, "fast")]["corr"])
-                M[bi_, si] = True
+
+        def deltas(k):
+            return {band: [band_data[band][0][(s, "slow")][k]
+                           - band_data[band][0][(s, "fast")][k]
+                           for s in band_data[band][1]]
+                    for band in BAND_NAMES}
+
+        D0, M = self._masked_delta_batch(deltas("h0"))
+        D1, _ = self._masked_delta_batch(deltas("h1"))
+        DC, _ = self._masked_delta_batch(deltas("corr"))
         Mj = jnp.asarray(M)
         _, p0_all = dstats.wilcoxon(jnp.asarray(D0), Mj)
         _, p1_all = dstats.wilcoxon(jnp.asarray(D1), Mj)
@@ -1350,24 +1362,14 @@ class StudyRunner:
             if np.isfinite(r["w_matched"]) and np.isfinite(r["w_mismatched"]):
                 per[r["band"]][r["subject"]].append(r)
         # ONE masked (5, n_max) wilcoxon + cohens batch — 2 dispatches
-        # instead of 10 (each costs a tunnel round trip; see
-        # _comparison_stats)
+        # instead of 10 (_masked_delta_batch)
         band_sm = {band: {s: (np.mean([x["w_matched"] for x in rs]),
                               np.mean([x["w_mismatched"] for x in rs]))
                           for s, rs in per[band].items()}
                    for band in BAND_NAMES}
-        n_max = max(1, *(len(sm) for sm in band_sm.values()))
-        NB = len(BAND_NAMES)
-        D = np.zeros((NB, n_max), np.float32)
-        M = np.zeros((NB, n_max), bool)
-        for bi_, band in enumerate(BAND_NAMES):
-            sm = band_sm[band]
-            if len(sm) < 5:
-                M[bi_, 0] = True     # placeholder; result unused
-                continue
-            for si, (m, mm) in enumerate(sm.values()):
-                D[bi_, si] = m - mm
-                M[bi_, si] = True
+        D, M = self._masked_delta_batch(
+            {band: [m - mm for (m, mm) in band_sm[band].values()]
+             for band in BAND_NAMES})
         Mj = jnp.asarray(M)
         _, p_all = dstats.wilcoxon(jnp.asarray(D), Mj)
         d_all = dstats.cohens_d_paired(jnp.asarray(D), Mj)
