@@ -68,6 +68,8 @@ def main():
         return cnt, s, np.asarray(o["overflow"])
 
     def mism(o, ref):
+        if ref is None:      # reference config failed: report unparityable
+            return -1        # (write_tuning requires mism=0, so never promotes)
         c1, s1, v1 = perwin(o)
         c2, s2, v2 = perwin(ref)
         ok = ~(v1.astype(bool) | v2.astype(bool))

@@ -70,6 +70,8 @@ def main():
         """# windows whose diagrams differ from the reference's, excluding
         windows either side overflow-flagged (those reroute to exact redo
         in production)."""
+        if ref is None:      # reference config failed: report unparityable
+            return -1        # (write_tuning requires mism=0, so never promotes)
         c1, s1, v1 = perwin(o)
         c2, s2, v2 = perwin(ref)
         ok = ~(v1.astype(bool) | v2.astype(bool))
