@@ -75,6 +75,101 @@ LANES = 128           # v axis (opposite vertex); n <= 128 everywhere here
 ESSENTIAL = -2        # pair_key sentinel: column reduced to zero
 
 
+def _pack_block(ph, B, n, m, g_cap, rank_rows, na_eff, with_extra, na_max):
+    """The kernels' shared single-DMA operand block:
+    [rank(rank_rows) | iuju(t_srows) | na(1) | (extras(1)) | app_tile(srows)].
+
+    iu/ju ride one table as iu*128+ju.  The apparent-pair check ships as a
+    (srows, LANES) KEY BIT TILE (bit g%32 of [g//32, vstar[g]] set iff edge
+    g is apparent) instead of a rank-indexed table: the kernel then answers
+    "is the pivot apparent" with a second min-reduce over the already-
+    prepared key tile rather than a table gather whose input depends on the
+    pivot scalar — one fewer serial reduce→scalar→reduce round trip on
+    EVERY reduction step.  The optional extras row carries [m_cx, n_na]
+    for kernels without scalar prefetch (the grouped variant).
+
+    Returns (packed (B, r_tot, LANES) int32, r_tot)."""
+    srows = g_cap // 32
+    t_srows = g_cap // LANES
+    g_slice = min(g_cap, m)
+    r_used = rank_rows + t_srows + 1 + (1 if with_extra else 0) + srows
+    r_tot = -(-r_used // 8) * 8
+    packed = jnp.full((B, r_tot, LANES), BIG, jnp.int32)
+    packed = packed.at[:, :n, :n].set(ph["rank_mat"])
+
+    def table(x, fill):
+        t = jnp.full((B, g_cap), fill, jnp.int32)
+        return t.at[:, :g_slice].set(
+            x[:, :g_slice].astype(jnp.int32)).reshape(B, t_srows, LANES)
+
+    iuju = ph["iu_r"].astype(jnp.int32) * LANES + ph["ju_r"].astype(jnp.int32)
+    off = rank_rows
+    packed = packed.at[:, off:off + t_srows, :].set(table(iuju, 0))
+    off += t_srows
+    na_row = jnp.full((B, LANES), -1, jnp.int32).at[:, :na_eff].set(
+        ph["na_list"])
+    packed = packed.at[:, off, :].set(na_row)
+    off += 1
+    if with_extra:
+        n_na_full = jnp.sum(ph["na_list"] >= 0, axis=-1).astype(jnp.int32)
+        extra = jnp.zeros((B, LANES), jnp.int32)
+        extra = extra.at[:, 0].set(ph["m_cx"].astype(jnp.int32))
+        extra = extra.at[:, 1].set(n_na_full)
+        packed = packed.at[:, off, :].set(extra)
+        off += 1
+    # apparent-key bit tile, built batched in XLA (32 fused masked-or
+    # passes over (B, srows, LANES) — ~no cost next to the reduction)
+    vs = jnp.full((B, g_cap), -1, jnp.int32).at[:, :g_slice].set(
+        jnp.where(ph["apparent_r"], ph["vstar_r"].astype(jnp.int32),
+                  -1)[:, :g_slice])
+    vs3 = vs.reshape(B, srows, 32)
+    lane = jnp.arange(LANES, dtype=jnp.int32)[None, None, :]
+    appt = jnp.zeros((B, srows, LANES), jnp.uint32)
+    for k in range(32):
+        appt = appt | jnp.where(vs3[:, :, k][:, :, None] == lane,
+                                jnp.uint32(1) << k, jnp.uint32(0))
+    packed = packed.at[:, off:off + srows, :].set(
+        jax.lax.bitcast_convert_type(appt, jnp.int32))
+    return packed, r_tot
+
+
+def _extract_bars(out, ph, h1_max, g_cap):
+    """Shared kernel epilogue: (B, 8, LANES) pair-key/stepinfo output →
+    the h1_diagrams return contract (births/deaths/mask/n_essential/h0_*/
+    overflow/steps/n_na) — identical to the XLA lockstep's extraction."""
+    na_list = ph["na_list"]; ew_r = ph["ew_r"]
+    na_eff = na_list.shape[1]
+    pair_key = out[:, 0, :na_eff]
+    stepinfo = out[:, 1, :]
+    na_edge = jnp.maximum(na_list, 0)
+    births = jnp.take_along_axis(ew_r, na_edge, axis=-1)
+    g_pair = jnp.maximum(pair_key, 0) // LANES
+    deaths = jnp.take_along_axis(ew_r, g_pair, axis=-1)
+    ess = (pair_key == ESSENTIAL) & (na_list >= 0)
+    deaths = jnp.where(ess, jnp.inf, deaths)
+    vis = (na_list >= 0) & ((pair_key >= 0) | ess) & (deaths > births)
+
+    order = jnp.argsort(~vis, axis=-1, stable=True)[:, :h1_max]
+    births = jnp.take_along_axis(births, order, axis=-1)
+    deaths = jnp.take_along_axis(deaths, order, axis=-1)
+    mask = jnp.take_along_axis(vis, order, axis=-1)
+    if h1_max > na_eff:
+        # callers size diagram buffers by h1_max; a VMEM-capped na_max
+        # (e.g. 80 at n=124) still yields h1_max-wide outputs
+        pad = h1_max - na_eff
+        births = jnp.pad(births, ((0, 0), (0, pad)))
+        deaths = jnp.pad(deaths, ((0, 0), (0, pad)))
+        mask = jnp.pad(mask, ((0, 0), (0, pad)))
+    n_essential = jnp.sum(ess, axis=-1).astype(jnp.int32)
+    overflow = (ph["overflow_na"] | (stepinfo[:, 1] > 0)
+                | (ph["m_cx"] > g_cap) | (jnp.sum(vis, axis=-1) > h1_max))
+    return dict(births=births, deaths=deaths, mask=mask,
+                n_essential=n_essential, overflow=overflow,
+                h0_deaths=ph["h0_deaths"], h0_mask=ph["h0_mask"],
+                n_tree=ph["n_tree"], steps=jnp.sum(stepinfo[:, 0]),
+                n_na=jnp.sum(na_list >= 0, axis=-1).astype(jnp.int32))
+
+
 def _reduce_kernel(mcx_ref, packed_ref, out_ref, col, stored,
                    *, g_cap: int, na_max: int, step_budget: int):
     """One window's full cohomology reduction (grid = windows).
@@ -277,51 +372,15 @@ def h1_diagrams_pallas(dm: jnp.ndarray, n_pts: jnp.ndarray | None = None, *,
         raise ValueError("g_cap must be a multiple of 128")
     B = dm.shape[0]
     srows = g_cap // 32
-    t_srows = g_cap // LANES
     ph = _phase1(dm, n, thresh, na_max, n_pts)
     m = ph["m"]
-    na_list = ph["na_list"]; ew_r = ph["ew_r"]
-    na_eff = na_list.shape[1]        # = min(na_max, m) — small-n safety
-    g_slice = min(g_cap, m)
+    na_eff = ph["na_list"].shape[1]  # = min(na_max, m) — small-n safety
 
-    # ---- ONE packed per-window operand block (single input DMA/step) ----
-    # iu/ju ride one table as iu*128+ju.  The apparent-pair check ships as
-    # a (srows, LANES) KEY BIT TILE (bit g%32 of [g//32, vstar[g]] set iff
-    # edge g is apparent) instead of a rank-indexed table: the kernel then
-    # answers "is the pivot apparent" with a second min-reduce over the
-    # already-prepared key tile rather than a table gather whose input
-    # depends on the pivot scalar — one fewer serial reduce→scalar→reduce
-    # round trip on EVERY reduction step.
-    r_used = LANES + t_srows + 1 + srows
-    r_tot = -(-r_used // 8) * 8
-    packed = jnp.full((B, r_tot, LANES), BIG, jnp.int32)
-    packed = packed.at[:, :n, :n].set(ph["rank_mat"])
-
-    def table(x, fill):
-        t = jnp.full((B, g_cap), fill, jnp.int32)
-        return t.at[:, :g_slice].set(
-            x[:, :g_slice].astype(jnp.int32)).reshape(B, t_srows, LANES)
-
-    iuju = ph["iu_r"].astype(jnp.int32) * LANES + ph["ju_r"].astype(jnp.int32)
-    off = LANES
-    packed = packed.at[:, off:off + t_srows, :].set(table(iuju, 0))
-    off += t_srows
-    na_row = jnp.full((B, LANES), -1, jnp.int32).at[:, :na_eff].set(na_list)
-    packed = packed.at[:, off, :].set(na_row)
-    off += 1
-    # apparent-key bit tile, built batched in XLA (32 fused masked-or
-    # passes over (B, srows, LANES) — ~no cost next to the reduction)
-    vs = jnp.full((B, g_cap), -1, jnp.int32).at[:, :g_slice].set(
-        jnp.where(ph["apparent_r"], ph["vstar_r"].astype(jnp.int32),
-                  -1)[:, :g_slice])
-    vs3 = vs.reshape(B, srows, 32)
-    lane = jnp.arange(LANES, dtype=jnp.int32)[None, None, :]
-    appt = jnp.zeros((B, srows, LANES), jnp.uint32)
-    for k in range(32):
-        appt = appt | jnp.where(vs3[:, :, k][:, :, None] == lane,
-                                jnp.uint32(1) << k, jnp.uint32(0))
-    packed = packed.at[:, off:off + srows, :].set(
-        jax.lax.bitcast_convert_type(appt, jnp.int32))
+    # ONE packed per-window operand block (single input DMA/step); m_cx
+    # rides scalar prefetch, so no extras row
+    packed, r_tot = _pack_block(ph, B, n, m, g_cap, rank_rows=LANES,
+                                na_eff=na_eff, with_extra=False,
+                                na_max=na_max)
     mcx = ph["m_cx"].astype(jnp.int32)                    # (B,) scalar prefetch
 
     if chains >= 2:
@@ -359,37 +418,7 @@ def h1_diagrams_pallas(dm: jnp.ndarray, n_pts: jnp.ndarray | None = None, *,
         interpret=interpret,
     )(mcx, packed)
 
-    pair_key = out[:, 0, :na_eff]
-    stepinfo = out[:, 1, :]
-    # ---- bar extraction: identical to h1_diagrams ----
-    na_edge = jnp.maximum(na_list, 0)
-    births = jnp.take_along_axis(ew_r, na_edge, axis=-1)
-    g_pair = jnp.maximum(pair_key, 0) // LANES
-    deaths = jnp.take_along_axis(ew_r, g_pair, axis=-1)
-    ess = (pair_key == ESSENTIAL) & (na_list >= 0)
-    deaths = jnp.where(ess, jnp.inf, deaths)
-    vis = (na_list >= 0) & ((pair_key >= 0) | ess) & (deaths > births)
-
-    order = jnp.argsort(~vis, axis=-1, stable=True)[:, :h1_max]
-    births = jnp.take_along_axis(births, order, axis=-1)
-    deaths = jnp.take_along_axis(deaths, order, axis=-1)
-    mask = jnp.take_along_axis(vis, order, axis=-1)
-    if h1_max > na_eff:
-        # callers size diagram buffers by h1_max; a VMEM-capped na_max
-        # (e.g. 80 at n=124) still yields h1_max-wide outputs
-        pad = h1_max - na_eff
-        births = jnp.pad(births, ((0, 0), (0, pad)))
-        deaths = jnp.pad(deaths, ((0, 0), (0, pad)))
-        mask = jnp.pad(mask, ((0, 0), (0, pad)))
-    n_essential = jnp.sum(ess, axis=-1).astype(jnp.int32)
-    overflow = (ph["overflow_na"] | (stepinfo[:, 1] > 0)
-                | (ph["m_cx"] > g_cap) | (jnp.sum(vis, axis=-1) > h1_max))
-
-    return dict(births=births, deaths=deaths, mask=mask,
-                n_essential=n_essential, overflow=overflow,
-                h0_deaths=ph["h0_deaths"], h0_mask=ph["h0_mask"],
-                n_tree=ph["n_tree"], steps=jnp.sum(stepinfo[:, 0]),
-                n_na=jnp.sum(na_list >= 0, axis=-1).astype(jnp.int32))
+    return _extract_bars(out, ph, h1_max, g_cap)
 
 
 # ─────────────────────────────────────────────────────────────────────────────
@@ -804,46 +833,13 @@ def h1_diagrams_pallas_grouped(dm: jnp.ndarray, n_pts: jnp.ndarray | None = None
     m = n * (n - 1) // 2
     g_cap = -(-m // LANES) * LANES
     srows = g_cap // 32
-    t_srows = g_cap // LANES
     ph = _phase1(dm, n, thresh, na_max, n_pts)
-    na_list = ph["na_list"]; ew_r = ph["ew_r"]
-    na_eff = na_list.shape[1]
-    g_slice = min(g_cap, m)
-
-    r_used = N_PAD + t_srows + 1 + 1 + srows
-    r_tot = -(-r_used // 8) * 8
-    packed = jnp.full((B, r_tot, LANES), BIG, jnp.int32)
-    packed = packed.at[:, :n, :n].set(ph["rank_mat"])
-
-    def table(x, fill):
-        t = jnp.full((B, g_cap), fill, jnp.int32)
-        return t.at[:, :g_slice].set(
-            x[:, :g_slice].astype(jnp.int32)).reshape(B, t_srows, LANES)
-
-    iuju = ph["iu_r"].astype(jnp.int32) * LANES + ph["ju_r"].astype(jnp.int32)
-    off = N_PAD
-    packed = packed.at[:, off:off + t_srows, :].set(table(iuju, 0))
-    off += t_srows
-    na_row = jnp.full((B, LANES), -1, jnp.int32).at[:, :na_eff].set(na_list)
-    packed = packed.at[:, off, :].set(na_row)
-    off += 1
-    n_na_full = jnp.sum(na_list >= 0, axis=-1).astype(jnp.int32)
-    extra = jnp.zeros((B, LANES), jnp.int32)
-    extra = extra.at[:, 0].set(ph["m_cx"].astype(jnp.int32))
-    extra = extra.at[:, 1].set(n_na_full)
-    packed = packed.at[:, off, :].set(extra)
-    off += 1
-    vs = jnp.full((B, g_cap), -1, jnp.int32).at[:, :g_slice].set(
-        jnp.where(ph["apparent_r"], ph["vstar_r"].astype(jnp.int32),
-                  -1)[:, :g_slice])
-    vs3 = vs.reshape(B, srows, 32)
-    lane = jnp.arange(LANES, dtype=jnp.int32)[None, None, :]
-    appt = jnp.zeros((B, srows, LANES), jnp.uint32)
-    for k in range(32):
-        appt = appt | jnp.where(vs3[:, :, k][:, :, None] == lane,
-                                jnp.uint32(1) << k, jnp.uint32(0))
-    packed = packed.at[:, off:off + srows, :].set(
-        jax.lax.bitcast_convert_type(appt, jnp.int32))
+    na_eff = ph["na_list"].shape[1]
+    # m_cx and n_na ride the packed block's extras row (no scalar prefetch
+    # in the plain-grid grouped kernel)
+    packed, r_tot = _pack_block(ph, B, n, m, g_cap, rank_rows=N_PAD,
+                                na_eff=na_eff, with_extra=True,
+                                na_max=na_max)
 
     kernel = functools.partial(_reduce_kernel_grouped, g_cap=g_cap,
                                na_max=na_max, step_budget=step_budget,
@@ -866,33 +862,7 @@ def h1_diagrams_pallas_grouped(dm: jnp.ndarray, n_pts: jnp.ndarray | None = None
         interpret=interpret,
     )(packed)
 
-    pair_key = out[:, 0, :na_eff]
-    stepinfo = out[:, 1, :]
-    na_edge = jnp.maximum(na_list, 0)
-    births = jnp.take_along_axis(ew_r, na_edge, axis=-1)
-    g_pair = jnp.maximum(pair_key, 0) // LANES
-    deaths = jnp.take_along_axis(ew_r, g_pair, axis=-1)
-    ess = (pair_key == ESSENTIAL) & (na_list >= 0)
-    deaths = jnp.where(ess, jnp.inf, deaths)
-    vis = (na_list >= 0) & ((pair_key >= 0) | ess) & (deaths > births)
-
-    order = jnp.argsort(~vis, axis=-1, stable=True)[:, :h1_max]
-    births = jnp.take_along_axis(births, order, axis=-1)
-    deaths = jnp.take_along_axis(deaths, order, axis=-1)
-    mask = jnp.take_along_axis(vis, order, axis=-1)
-    if h1_max > na_eff:
-        pad = h1_max - na_eff
-        births = jnp.pad(births, ((0, 0), (0, pad)))
-        deaths = jnp.pad(deaths, ((0, 0), (0, pad)))
-        mask = jnp.pad(mask, ((0, 0), (0, pad)))
-    n_essential = jnp.sum(ess, axis=-1).astype(jnp.int32)
-    overflow = (ph["overflow_na"] | (stepinfo[:, 1] > 0)
-                | (ph["m_cx"] > g_cap) | (jnp.sum(vis, axis=-1) > h1_max))
-    res = dict(births=births, deaths=deaths, mask=mask,
-               n_essential=n_essential, overflow=overflow,
-               h0_deaths=ph["h0_deaths"], h0_mask=ph["h0_mask"],
-               n_tree=ph["n_tree"], steps=jnp.sum(stepinfo[:, 0]),
-               n_na=n_na_full)
+    res = _extract_bars(out, ph, h1_max, g_cap)
     if Bp != B0:
         res = {k: v[:B0] if hasattr(v, "shape") and v.ndim and
                v.shape[0] == Bp else v for k, v in res.items()}
