@@ -340,10 +340,14 @@ def test_mosaic_lowering_device_free():
     from tda_eeg_audio_tpu.ops.homology_pallas import (
         h1_diagrams_pallas, h1_diagrams_pallas_grouped)
 
-    f_g = partial(h1_diagrams_pallas_grouped, n=47, thresh=2.0, na_max=64,
-                  h1_max=96, step_budget=8192, group=8)
-    export.export(jax.jit(f_g), platforms=["tpu"])(
-        jax.ShapeDtypeStruct((16, 47, 47), jnp.float32))
+    # every grouped config the A/B battery tries (scratch/bench_grouped.py)
+    # must LOWER — a Mosaic lowering error found here costs seconds, not a
+    # wasted battery step on scarce hardware
+    for group, na in ((4, 96), (8, 96), (8, 64), (12, 64)):
+        f_g = partial(h1_diagrams_pallas_grouped, n=47, thresh=2.0,
+                      na_max=na, h1_max=96, step_budget=8192, group=group)
+        export.export(jax.jit(f_g), platforms=["tpu"])(
+            jax.ShapeDtypeStruct((2 * group, 47, 47), jnp.float32))
     for chains in (1, 2, 4):
         f_d = partial(h1_diagrams_pallas, n=124, thresh=2.0, na_max=96,
                       h1_max=96, step_budget=8192, chains=chains)
