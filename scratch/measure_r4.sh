@@ -22,6 +22,15 @@ timeout 5400 python bench.py --repeats 3 > /tmp/r4_bench_default.out 2>&1
 cat /tmp/r4_bench_default.out >> $LOG
 persist
 
+echo "--- 1b. full-study bench with the EEG diagram bank (eeg_bank knob:" \
+     "comparison reuses the features stage's per-window diagrams;" \
+     "CPU-parity-pinned by tests/test_eeg_bank.py)" >> $LOG
+TDA_TPU_EEG_BANK=1 timeout 5400 python bench.py --repeats 3 \
+    > /tmp/r4_bench_bank.out 2>&1
+cat /tmp/r4_bench_bank.out >> $LOG
+python scratch/write_tuning.py --apply-bank >> $LOG 2>&1
+persist
+
 echo "--- 2. comparison attribution (current tree)" >> $LOG
 timeout 3000 python scratch/cmp_attrib.py >> $LOG 2>&1
 persist

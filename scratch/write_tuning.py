@@ -9,9 +9,15 @@ Two modes, both driven by scratch/measure_r4.sh:
                  flipped bench).
   --apply        parse the default and flipped full-study bench outputs
                  (/tmp/r4_bench_default.out, /tmp/r4_bench_flipped.out);
-                 write tda_eeg_audio_tpu/tuning.json with the candidate
-                 knobs ONLY if the flipped full-study number beats the
-                 default end-to-end (or the default produced no number).
+                 merge the candidate knobs into tda_eeg_audio_tpu/
+                 tuning.json ONLY if the flipped full-study number beats
+                 the default end-to-end (or the default produced no
+                 number).
+  --apply-bank   same promotion rule for the eeg_bank knob
+                 (/tmp/r4_bench_bank.out vs the default bench): the
+                 comparison stage reusing the features stage's diagrams
+                 is CPU-parity-pinned (tests/test_eeg_bank.py), so the
+                 gate is purely the end-to-end time.
 
 Validity gates: a grouped config must not add > 2% overflow windows vs
 the lockstep (overflows reroute through the exact redo path — correct but
@@ -31,7 +37,24 @@ GROUPED_OUT = Path("/tmp/r4_grouped.out")
 DUAL_OUT = Path("/tmp/r4_dual.out")
 BENCH_DEFAULT = Path("/tmp/r4_bench_default.out")
 BENCH_FLIPPED = Path("/tmp/r4_bench_flipped.out")
+BENCH_BANK = Path("/tmp/r4_bench_bank.out")
 TUNING = ROOT / "tda_eeg_audio_tpu" / "tuning.json"
+
+
+def _merge_tuning(updates: dict):
+    """Merge knobs into tuning.json, preserving knobs promoted by other
+    battery steps (the bank and kernel promotions are independent)."""
+    try:
+        data = json.loads(TUNING.read_text())
+        if not isinstance(data, dict):
+            data = {}
+    except (OSError, ValueError):
+        data = {}
+    measured = {**data.get("measured", {}), **updates.pop("measured", {})}
+    data.update(updates)
+    data["measured"] = measured
+    TUNING.write_text(json.dumps(data, indent=2) + "\n")
+    return data
 
 
 def _read(p: Path) -> str:
@@ -112,7 +135,29 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--candidates", action="store_true")
     ap.add_argument("--apply", action="store_true")
+    ap.add_argument("--apply-bank", action="store_true")
     args = ap.parse_args()
+
+    if args.apply_bank:
+        v_def = bench_value(BENCH_DEFAULT)
+        rec = bench_record(BENCH_BANK)
+        v_bank = rec.get("value") if rec else None
+        if v_bank is None or rec.get("ok") is False:
+            print(f"write_tuning: bank bench unusable (value={v_bank}, "
+                  f"ok={rec.get('ok') if rec else None}); tuning.json "
+                  f"untouched")
+            return
+        if v_def is not None and v_bank >= v_def:
+            print(f"write_tuning: bank {v_bank:.1f}s did not beat default "
+                  f"{v_def:.1f}s; tuning.json untouched")
+            return
+        _merge_tuning(dict(
+            eeg_bank=True,
+            measured=dict(full_study_bank_s=v_bank,
+                          full_study_default_s=v_def)))
+        print(f"write_tuning: WROTE eeg_bank=true to {TUNING} "
+              f"(bank {v_bank:.1f}s vs default {v_def}s)")
+        return
     g = grouped_candidate()
     c = chains_candidate()
 
@@ -152,7 +197,7 @@ def main():
             print(f"write_tuning: flipped {v_flip:.1f}s did not beat "
                   f"default {v_def:.1f}s; tuning.json untouched")
             return
-        data = dict(
+        updates = dict(
             eeg_small_kernel="grouped" if g else "bitset",
             audio_chains=c["chains"] if c else 1,
             measured=dict(kernel_ab=dict(grouped=g, chains=c),
@@ -160,9 +205,9 @@ def main():
                           full_study_flipped_s=v_flip,
                           source="scratch/measure_r4.sh battery"))
         if g:
-            data["grouped_size"] = g["group"]
-            data["grouped_na_max"] = g["na_max"]
-        TUNING.write_text(json.dumps(data, indent=2) + "\n")
+            updates["grouped_size"] = g["group"]
+            updates["grouped_na_max"] = g["na_max"]
+        data = _merge_tuning(updates)
         print(f"write_tuning: WROTE {TUNING} "
               f"(flipped {v_flip:.1f}s vs default {v_def}s): "
               f"{json.dumps({k: v for k, v in data.items() if k != 'measured'})}")

@@ -112,13 +112,13 @@ def window_tda_features(dm: jnp.ndarray, thresh: float = 2.0, na_max: int = 128,
 
 
 @partial(jax.jit, static_argnames=("cfg", "n_win_max", "K", "chunk", "na_max",
-                                   "step_budget", "return_dm0"))
+                                   "step_budget", "return_dm0", "return_bank"))
 def eeg_feature_program(eeg: jnp.ndarray, n_samples: jnp.ndarray,
                         use_idx: jnp.ndarray, use_mask: jnp.ndarray,
                         cfg: PipelineConfig = DEFAULT_CONFIG,
                         n_win_max: int = 90, K: int = 39, chunk: int = 512,
                         na_max: int = 128, step_budget: int = 4096,
-                        return_dm0: bool = False):
+                        return_dm0: bool = False, return_bank: bool = False):
     """FUSED features stage: padded EEG → 220-dim aggregate, one device call.
 
     The whole per-recording pipeline (filter → window-select → corr → dist →
@@ -161,12 +161,38 @@ def eeg_feature_program(eeg: jnp.ndarray, n_samples: jnp.ndarray,
                                      thresh=cfg.max_edge_length,
                                      na_max=na_max, h1_max=na_max,
                                      step_budget=step_budget)
-        return (f.reshape(B, chunk_m, 2, 11),
-                out["overflow"].reshape(B, chunk_m))
+        res = dict(f=f.reshape(B, chunk_m, 2, 11),
+                   ovf=out["overflow"].reshape(B, chunk_m))
+        if return_bank:
+            # per-window diagrams, pre-packed in the comparison program's
+            # _h0_pack/_h1_pack convention so the bank path consumes them
+            # without touching the kernel outputs again
+            fin = out["mask"] & jnp.isfinite(out["deaths"])
+            h0d = jnp.where(jnp.isfinite(out["h0_deaths"]),
+                            out["h0_deaths"], 0.0)
+            res.update(
+                h1_b=out["births"].reshape(B, chunk_m, -1),
+                h1_d=jnp.where(fin, out["deaths"], 0.0)
+                        .reshape(B, chunk_m, -1),
+                h1_m=fin.reshape(B, chunk_m, -1),
+                h0_d=h0d.reshape(B, chunk_m, -1),
+                h0_m=out["h0_mask"].reshape(B, chunk_m, -1))
+        return res
 
     stacked = jnp.moveaxis(
         dist4.reshape(B, n_chunks, chunk_m, n, n), 1, 0)
-    feats, ovf = jax.lax.map(do_chunk, stacked)
+    mapped = jax.lax.map(do_chunk, stacked)
+
+    def unchunk(x):       # (n_chunks, B, chunk_m, ...) → (B, M, ...)
+        return jnp.moveaxis(x, 0, 1).reshape(
+            B, n_chunks * chunk_m, *x.shape[3:])[:, :M]
+
+    feats, ovf = mapped["f"], mapped["ovf"]
+    bank = ({k: unchunk(mapped[k])
+             for k in ("h1_b", "h1_d", "h1_m", "h0_d", "h0_m")}
+            if return_bank else None)
+    if return_bank:
+        bank["feats"] = unchunk(feats)
     feats = jnp.moveaxis(feats, 0, 1).reshape(B, n_chunks * chunk_m, 2, 11)
     feats = feats[:, :M].reshape(B, N_BANDS, K, 22)
     # per-recording overflow (na_max/step-budget exceeded on any used
@@ -178,7 +204,7 @@ def eeg_feature_program(eeg: jnp.ndarray, n_samples: jnp.ndarray,
     agg = aggregate_mean_std(feats, use_mask.reshape(B, N_BANDS, K))
     agg = agg.reshape(B, N_BANDS, 2, 11, 2)
     if not return_dm0:
-        return agg, ovf
+        return (agg, ovf, bank) if return_bank else (agg, ovf)
     # window-0 distance-matrix DIAGNOSTICS per band for host-side runtime
     # validation — the reference validates distance_matrices[0] of each
     # band at runtime and persists issues into per-file metadata (C14;
@@ -188,6 +214,8 @@ def eeg_feature_program(eeg: jnp.ndarray, n_samples: jnp.ndarray,
     # this deployment's 30-115 MB/s link.
     corr0 = tgeo.correlation_matrix(wins[:, :, 0])            # (B, 5, n, n)
     dm0 = tgeo.correlation_to_distance(corr0, cfg.distance_method)
+    if return_bank:
+        return agg, _dm_diagnostics(dm0), ovf, bank
     return agg, _dm_diagnostics(dm0), ovf
 
 
@@ -599,9 +627,19 @@ def comparison_program(eeg, n_e, audio, n_a, mis_h1, mis_n_win, mis_degen,
         cfg.max_edge_length, aud_chunk, 96, 8192)
 
     _, e0d, e0m = _h0_pack(e_out)
+    e_ovf = e_out["overflow"].reshape(B, -1).any(axis=1)
+    return _comparison_tail(e0d, e0m, _h1_pack(e_out), e_out["features"],
+                            e_ovf, aud, a_out, kmask, n_win_e, n_pair,
+                            mis_h1, mis_n_win, mis_degen, K, B)
+
+
+def _comparison_tail(e0d, e0m, e1, e_feats, e_ovf, aud, a_out, kmask,
+                     n_win_e, n_pair, mis_h1, mis_n_win, mis_degen, K, B):
+    """Wasserstein + window statistics shared by comparison_program (EEG
+    diagrams computed in-call) and comparison_from_bank (EEG diagrams
+    gathered from the features stage's bank)."""
     _, a0d, a0m = _h0_pack(a_out)
     w_h0 = _wass_h0_exact_chunked(e0d, e0m, a0d, a0m)
-    e1 = _h1_pack(e_out)
     a1 = _h1_pack(a_out)
     # ONE tiered Sinkhorn call for matched + mismatched pairs: the combined
     # size-sort packs both sets' sparse tails into shared narrow-tier chunks
@@ -615,7 +653,7 @@ def comparison_program(eeg, n_e, audio, n_a, mis_h1, mis_n_win, mis_degen,
     w_h1, w_mis = w_both[:n_pairs], w_both[n_pairs:]
 
     out = _comparison_stats_program(
-        w_h0, w_h1, w_mis, e_out["features"],
+        w_h0, w_h1, w_mis, e_feats,
         a_out["features"], kmask, aud["n_pts"] < 3, mis_degen,
         n_win_e, mis_n_win, K)
     # per-band degenerate-Takens flag over the valid selected windows — the
@@ -627,11 +665,63 @@ def comparison_program(eeg, n_e, audio, n_a, mis_h1, mis_n_win, mis_degen,
     # any of its windows): the driver reroutes flagged recordings through
     # the staged path, whose run_tda recomputes overflow windows on the
     # exact host engine (never silently keeps a truncated diagram)
-    ovf_rec = (e_out["overflow"].reshape(B, -1).any(axis=1)
-               | a_out["overflow"].reshape(B, -1).any(axis=1))
+    ovf_rec = e_ovf | a_out["overflow"].reshape(B, -1).any(axis=1)
     out.update(tau=aud["tau"], n_pair=jnp.minimum(n_pair, K),
                a_degen=a_degen, overflow=ovf_rec)
     return out
+
+
+@jax.jit
+def _bank_take(leaf, gidx):
+    return jnp.take(leaf, gidx, axis=0)
+
+
+def comparison_from_bank(e_bank, gidx, n_e, audio, n_a, mis_h1, mis_n_win,
+                         mis_degen, cfg: PipelineConfig = DEFAULT_CONFIG,
+                         n_win_max: int = 90, n_rs_max: int = 5900,
+                         K: int = 15, aud_chunk: int = 64,
+                         t_eeg_pad: int = 5800):
+    """comparison_program with the EEG side GATHERED from the features
+    stage's per-window diagram bank instead of recomputed.
+
+    The comparison's paired window selection (linspace over
+    min(n_eeg, n_audio) windows — reference tda_eeg_audio_comparison.py:
+    72-80) is a SUBSET of the features stage's md5-sampled window set
+    whenever that sampling covers all of a recording's windows (always
+    under "min" window equalization with uniform recording lengths, the
+    study's regime).  The driver verifies the inclusion per recording on
+    host and builds `gidx` — flat (B·5·K,) int32 indices into the bank
+    rows — falling back to comparison_program for any batch where it
+    fails.  Skips the comparison stage's second EEG corr→dist→H1 pass.
+
+    e_bank: dict of flat (R, ·) device leaves (h1_b/h1_d/h1_m pad width
+    128, h0_d/h0_m width n−1, feats (·, 2, 11)) from
+    eeg_feature_program(return_bank=True), R = bank_rows · 5 · K_feat.
+
+    Exactness: bank diagrams ride na_max/h1_max 128 while this path's
+    in-call EEG diagrams ride 96; gathered H1 rows are SLICED back to 96
+    and any bar beyond flags the recording's `overflow` — the same
+    recordings the in-call path would overflow-flag at 96 — so both
+    paths produce identical kept values and identical exact-redo sets.
+    """
+    B = audio.shape[0]
+    n_win_e = window_count_program(n_e, cfg.win_samples, cfg.step_samples,
+                                   t_eeg_pad)
+    aud = audio_takens_program(audio, n_a, cfg, n_rs_max, n_win_max, K,
+                               n_win_cap=n_win_e)
+    P = cfg.max_takens_points
+    a_out = _diagrams_chunked_host(
+        aud["dm"].reshape(B, N_BANDS * K, P, P),
+        aud["n_pts"].reshape(B, N_BANDS * K),
+        cfg.max_edge_length, aud_chunk, 96, 8192)
+    g = {k: _bank_take(v, gidx) for k, v in e_bank.items()}
+    W = min(96, g["h1_m"].shape[1])
+    e1 = (g["h1_b"][:, :W], g["h1_d"][:, :W], g["h1_m"][:, :W])
+    e_ovf = g["h1_m"][:, W:].reshape(B, -1).any(axis=1)
+    return _comparison_tail(g["h0_d"], g["h0_m"], e1, g["feats"], e_ovf,
+                            aud, a_out, aud["wmask"],
+                            n_win_e, aud["n_win"].astype(jnp.int32),
+                            mis_h1, mis_n_win, mis_degen, K, B)
 
 
 # ─────────────────────────────────────────────────────────────────────────────

@@ -84,7 +84,8 @@ class StudyRunner:
     def __init__(self, dataset, cfg: PipelineConfig = DEFAULT_CONFIG,
                  eeg_batch: int = 16, tda_chunk: int = 256,
                  results_dir: str | Path | None = None, verbose: bool = True,
-                 backend: str | None = None, mesh="auto"):
+                 backend: str | None = None, mesh="auto",
+                 eeg_bank: bool | None = None):
         self.ds = dataset
         self.cfg = cfg
         self.eeg_batch = eeg_batch
@@ -117,6 +118,13 @@ class StudyRunner:
             if verbose:
                 print(f"mesh: dp={dp} over {self.mesh.devices.ravel()!r}; "
                       f"eeg_batch={self.eeg_batch}")
+        # eeg_bank: reuse the features stage's per-window EEG diagrams in
+        # the comparison stage (programs.comparison_from_bank) — measured
+        # knob, default from tuning.json/TDA_TPU_EEG_BANK (None = tuned)
+        from .. import tuning
+        self.use_eeg_bank = ((tuning.EEG_BANK if eeg_bank is None
+                              else eeg_bank) and self.on_device)
+        self._eeg_bank = None
         self.failed_files: list[tuple[str, str]] = []
         self._failed_idx: set[int] = set()
         # HBM-resident ingest (io.device_store.DeviceStore): every stage
@@ -358,6 +366,9 @@ class StudyRunner:
         t0 = time.time()
         pending = []    # fused: (packed_dev, idxs); staged: ((a, d, o), idxs)
         done = []
+        # per-window diagram bank for the comparison stage (eeg_bank knob):
+        # device leaves per batch + host slot/selection maps
+        bank_batches, bank_slot, bank_use = [], {}, {}
 
         def drain_all():
             """Read the whole stage back in ONE transfer (fused path) — the
@@ -411,10 +422,19 @@ class StudyRunner:
                         [use_idx, np.zeros((padn, N_BANDS, K), np.int32)])
                     use_mask = np.concatenate(
                         [use_mask, np.zeros((padn, N_BANDS, K), bool)])
-                agg_dev, diag_dev, ovf_dev = programs.eeg_feature_program(
+                outs = programs.eeg_feature_program(
                     self._put(eeg), self._put(ns_e),
                     self._put(use_idx), self._put(use_mask),
-                    cfg, N_WIN_MAX, K, chunk=self.tda_chunk, return_dm0=True)
+                    cfg, N_WIN_MAX, K, chunk=self.tda_chunk, return_dm0=True,
+                    return_bank=self.use_eeg_bank)
+                if self.use_eeg_bank:
+                    agg_dev, diag_dev, ovf_dev, bank_dev = outs
+                    for bi_, i in enumerate(idxs):
+                        bank_slot[i] = len(bank_batches) * self.eeg_batch + bi_
+                        bank_use[i] = use_idx[bi_].copy()
+                    bank_batches.append(bank_dev)
+                else:
+                    agg_dev, diag_dev, ovf_dev = outs
                 pending.append((programs.pack_feature_outputs(
                     agg_dev, diag_dev, ovf_dev), idxs))
                 if len(pending) >= 4:     # bound in-flight device memory
@@ -457,6 +477,9 @@ class StudyRunner:
                     tlog.LOGGER.event("feature_overflow_redo",
                                       file=self.ds.index[i][0])
                     agg[bi_] = self._staged_feature_agg([i], counts, K)[0]
+                    # the fused kernel truncated this recording's diagrams:
+                    # its bank rows are unusable for the comparison stage
+                    bank_slot.pop(i, None)
             for bi_, i in enumerate(idxs):
                 if i in self._failed_idx:   # failed on the batch re-load
                     continue
@@ -483,6 +506,10 @@ class StudyRunner:
                     max_windows_per_band=K,
                     n_windows_total=nw * N_BANDS,
                     n_windows_used_total=used * N_BANDS))
+        if self.use_eeg_bank and bank_batches:
+            self._eeg_bank = dict(batches=bank_batches, slot=bank_slot,
+                                  use=bank_use, K=K, counts=dict(counts),
+                                  flat=None)
         tlog.LOGGER.stage("features", time.time() - t0,
                      items=len(all_idx) * N_BANDS * K,
                      n_recordings=len(X_rows), K=K,
@@ -869,6 +896,66 @@ class StudyRunner:
             degen=np.asarray(jnp.concatenate(degens)))
         return bank, slot
 
+    def _bank_flat(self):
+        """Concatenate the features stage's per-batch bank leaves into flat
+        (rows·5·K_feat, ·) device arrays, once, lazily."""
+        bk = self._eeg_bank
+        if bk["flat"] is None:
+            leaves = {}
+            for k in ("h1_b", "h1_d", "h1_m", "h0_d", "h0_m", "feats"):
+                cat = jnp.concatenate([b[k] for b in bk["batches"]], axis=0)
+                leaves[k] = cat.reshape(cat.shape[0] * cat.shape[1],
+                                        *cat.shape[2:])
+            bk["flat"] = leaves
+            bk["batches"] = None      # free the un-flattened copies
+        return bk["flat"]
+
+    def _bank_gather_idx(self, idxs, metas):
+        """Flat bank indices serving a comparison batch, or None.
+
+        For each live recording, replicates on host the device's paired
+        window selection (audio_takens_program's f32 linspace over
+        n_pair = min(n_win_eeg, n_win_audio) — same arithmetic, same
+        dtype) and maps each selected window to its position in the
+        features stage's md5-sampled window list.  Returns None — caller
+        falls back to comparison_program — if any recording is missing
+        from the bank (overflowed, zero-window, or outside a features
+        shard) or any paired window is outside its md5 sample (possible
+        only when a recording has more windows than the equalized K)."""
+        from ..ops.signal import resample_n_out
+
+        bk = self._eeg_bank
+        K_feat = bk["K"]
+        win, step = self.cfg.win_samples, self.cfg.step_samples
+        gidx = np.zeros((self.eeg_batch, N_BANDS, K_CMP), np.int64)
+        for bi_, meta in enumerate(metas[: len(idxs)]):
+            i = idxs[bi_]
+            if meta.get("failed"):
+                continue        # row is dropped at drain; any index works
+            row = bk["slot"].get(i)
+            if row is None:
+                return None
+            nw = bk["counts"][i]
+            n_rs = int(resample_n_out(self._audio_length(i),
+                                      self.cfg.fs_eeg, self.cfg.fs_audio))
+            n_pair = min(max((n_rs - win) // step + 1, 0), nw)
+            if n_pair <= K_CMP:
+                comp = np.minimum(np.arange(K_CMP), max(n_pair - 1, 0))
+            else:
+                comp = (np.arange(K_CMP, dtype=np.float32)
+                        * np.float32(n_pair - 1)
+                        / np.float32(K_CMP - 1)).astype(np.int64)
+            take = min(K_feat, nw)
+            for bd in range(N_BANDS):
+                inv = np.full(nw, -1, np.int64)
+                inv[np.asarray(bk["use"][i][bd][:take], np.int64)] = \
+                    np.arange(take)
+                pos = inv[comp]
+                if (pos < 0).any():
+                    return None
+                gidx[bi_, bd] = (np.int64(row) * N_BANDS + bd) * K_feat + pos
+        return gidx.reshape(-1).astype(np.int32)
+
     def _fused_rows(self):
         """One fused device pass over all recordings → comparison + control
         rows.  Wasserstein runs on device (Sinkhorn, persim cost semantics);
@@ -901,6 +988,7 @@ class StudyRunner:
                         degen=np.zeros((0, N_BANDS, K_CMP), bool))
         zero_slot = bank["b"].shape[0] - 1
         rows = []
+        self._bank_served = self._bank_fallback = 0   # eeg_bank batch counts
         t0 = time.time()
         all_idx = list(range(len(self.ds)))
         batches = []        # (packed_dev, idxs, metas, has_mis, mis_degen)
@@ -924,16 +1012,30 @@ class StudyRunner:
             # mismatch diagrams: one on-device gather from the bank — only
             # the (Bp,) slot vector crosses the link
             slots_d = jnp.asarray(slots)
-            out = programs.comparison_program(
-                self._put(eeg), self._put(ns_e), self._put(audio),
-                self._put(ns_a),
-                (self._put(_bank_gather(bank["b"], slots_d)),
-                 self._put(_bank_gather(bank["d"], slots_d)),
-                 self._put(_bank_gather(bank["m"], slots_d))),
-                self._put(mis_n_win), self._put(mis_degen),
-                cfg, N_WIN_MAX, N_RS_MAX, K_CMP,
-                eeg_chunk=min(self.tda_chunk, 256),
-                aud_chunk=aud_chunk)
+            mis_args = ((self._put(_bank_gather(bank["b"], slots_d)),
+                         self._put(_bank_gather(bank["d"], slots_d)),
+                         self._put(_bank_gather(bank["m"], slots_d))),
+                        self._put(mis_n_win), self._put(mis_degen))
+            gidx = (self._bank_gather_idx(idxs, metas)
+                    if self._eeg_bank is not None else None)
+            if self._eeg_bank is not None:
+                self._bank_served += gidx is not None
+                self._bank_fallback += gidx is None
+            if gidx is not None:
+                # EEG side gathered from the features stage's diagram bank
+                # (eeg_bank knob): skips the second EEG corr→dist→H1 pass
+                out = programs.comparison_from_bank(
+                    self._bank_flat(), self._put(gidx),
+                    self._put(ns_e), self._put(audio), self._put(ns_a),
+                    *mis_args, cfg, N_WIN_MAX, N_RS_MAX, K_CMP,
+                    aud_chunk=aud_chunk, t_eeg_pad=eeg.shape[-1])
+            else:
+                out = programs.comparison_program(
+                    self._put(eeg), self._put(ns_e), self._put(audio),
+                    self._put(ns_a), *mis_args,
+                    cfg, N_WIN_MAX, N_RS_MAX, K_CMP,
+                    eeg_chunk=min(self.tda_chunk, 256),
+                    aud_chunk=aud_chunk)
             # ONE small device vector per batch; the stage reads back once
             batches.append((programs.pack_comparison_outputs(out), idxs,
                             metas, has_mis, mis_degen[: len(idxs)]))
@@ -957,7 +1059,9 @@ class StudyRunner:
                               rows, FEATS)
         tlog.LOGGER.stage("fused_comparison", time.time() - t0,
                      items=len(all_idx) * N_BANDS * K_CMP,
-                     n_mismatch_cached=len(mis_slot))
+                     n_mismatch_cached=len(mis_slot),
+                     bank_batches=self._bank_served,
+                     bank_fallback_batches=self._bank_fallback)
         n_ovf = sum(1 for r in rows if r.get("overflow"))
         if n_ovf:
             tlog.LOGGER.event("comparison_overflow", n_rows=n_ovf)

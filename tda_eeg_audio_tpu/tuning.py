@@ -34,6 +34,12 @@ _DEFAULTS = dict(
     grouped_na_max=64,
     # concurrent creator chains in the per-window audio H1 kernel
     audio_chains=1,
+    # reuse the features stage's per-window EEG diagrams in the comparison
+    # stage (the paired window set is a subset of the feature set whenever
+    # feature sampling covers all windows — true under "min" equalization
+    # with uniform recording lengths), skipping the comparison's second
+    # EEG corr→dist→H1 pass entirely (models/study.py eeg_bank path)
+    eeg_bank=False,
 )
 
 _PATH = Path(os.environ.get("TDA_TPU_TUNING_FILE",
@@ -54,6 +60,7 @@ def _load() -> dict:
             grouped_size=int(merged["grouped_size"]),
             grouped_na_max=int(merged["grouped_na_max"]),
             audio_chains=int(merged["audio_chains"]),
+            eeg_bank=bool(merged["eeg_bank"]),
         )
     except (OSError, ValueError, TypeError):
         return dict(_DEFAULTS)
@@ -69,3 +76,5 @@ GROUPED_NA_MAX = int(os.environ.get("TDA_TPU_GROUPED_NA_MAX",
                                     _DATA["grouped_na_max"]))
 AUDIO_CHAINS = int(os.environ.get("TDA_TPU_AUDIO_CHAINS",
                                   _DATA["audio_chains"]))
+EEG_BANK = (os.environ["TDA_TPU_EEG_BANK"] not in ("", "0", "false")
+            if "TDA_TPU_EEG_BANK" in os.environ else _DATA["eeg_bank"])

@@ -177,3 +177,41 @@ def test_apply_requires_end_to_end_win(monkeypatch, tmp_path, capsys):
     assert buf.getvalue().split() == [
         "TDA_TPU_EEG_KERNEL=grouped", "TDA_TPU_GROUPED_SIZE=8",
         "TDA_TPU_GROUPED_NA_MAX=64"]
+
+
+def test_apply_bank_gate_and_merge(monkeypatch, tmp_path):
+    """eeg_bank promotes only on an end-to-end win, merges with (never
+    clobbers) knobs promoted by the kernel step, and a degraded (ok=false)
+    or missing bank bench leaves tuning.json untouched."""
+    wt = _wt()
+    bd = tmp_path / "bd.out"
+    bb = tmp_path / "bb.out"
+    tj = tmp_path / "tuning.json"
+    monkeypatch.setattr(wt, "BENCH_DEFAULT", bd)
+    monkeypatch.setattr(wt, "BENCH_BANK", bb)
+    monkeypatch.setattr(wt, "TUNING", tj)
+    monkeypatch.setattr(sys, "argv", ["write_tuning.py", "--apply-bank"])
+
+    bd.write_text('{"metric": "full_study_seconds", "value": 100.0}\n')
+    bb.write_text('{"metric": "full_study_seconds", "value": 110.0}\n')
+    wt.main()
+    assert not tj.exists()                           # regression → untouched
+
+    bb.write_text('{"metric": "full_study_seconds", "value": 80.0, '
+                  '"ok": false}\n')
+    wt.main()
+    assert not tj.exists()                           # degraded → untouched
+
+    tj.write_text(json.dumps(dict(audio_chains=2,
+                                  measured=dict(kernel_ab="x"))))
+    bb.write_text('{"metric": "full_study_seconds", "value": 80.0, '
+                  '"ok": true}\n')
+    wt.main()
+    data = json.loads(tj.read_text())
+    assert data["eeg_bank"] is True
+    assert data["audio_chains"] == 2                 # kernel knob preserved
+    assert data["measured"]["kernel_ab"] == "x"
+    assert data["measured"]["full_study_bank_s"] == 80.0
+    # and the loader accepts the merged file
+    monkeypatch.setattr(tuning, "_PATH", tj)
+    assert tuning._load()["eeg_bank"] is True
