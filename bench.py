@@ -174,7 +174,13 @@ def full_study(args) -> None:
             runs.append(dict(total=round(time.time() - t0, 1),
                              features_s=round(t_feat, 1),
                              compare_s=round(t_cmp, 1),
-                             control_s=round(t_ctrl, 1)))
+                             control_s=round(t_ctrl, 1),
+                             # eeg_bank engagement (battery step 1b must
+                             # see served > 0, else it benched a fallback)
+                             bank_batches=getattr(runner, "_bank_served",
+                                                  None),
+                             bank_fallback=getattr(runner, "_bank_fallback",
+                                                   None)))
             # sanity checks reported, not asserted — a degraded number with
             # ok=false beats aborting after minutes of compute
             checks = {"n_features_220": X.shape[1] == 220,

@@ -147,6 +147,12 @@ def main():
                   f"ok={rec.get('ok') if rec else None}); tuning.json "
                   f"untouched")
             return
+        if not rec.get("detail", {}).get("bank_batches"):
+            # the run fell back to the in-call path (or predates the
+            # engagement counter): it measured the default, not the bank
+            print("write_tuning: bank bench never served a batch from the "
+                  "bank; tuning.json untouched")
+            return
         if v_def is not None and v_bank >= v_def:
             print(f"write_tuning: bank {v_bank:.1f}s did not beat default "
                   f"{v_def:.1f}s; tuning.json untouched")

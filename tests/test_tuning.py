@@ -202,10 +202,17 @@ def test_apply_bank_gate_and_merge(monkeypatch, tmp_path):
     wt.main()
     assert not tj.exists()                           # degraded → untouched
 
+    # a winning run that never actually served from the bank (fallback)
+    # measured the default path — must not promote
+    bb.write_text('{"metric": "full_study_seconds", "value": 80.0, '
+                  '"ok": true, "detail": {"bank_batches": 0}}\n')
+    wt.main()
+    assert not tj.exists()
+
     tj.write_text(json.dumps(dict(audio_chains=2,
                                   measured=dict(kernel_ab="x"))))
     bb.write_text('{"metric": "full_study_seconds", "value": 80.0, '
-                  '"ok": true}\n')
+                  '"ok": true, "detail": {"bank_batches": 90}}\n')
     wt.main()
     data = json.loads(tj.read_text())
     assert data["eeg_bank"] is True
