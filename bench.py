@@ -141,11 +141,14 @@ def full_study(args) -> None:
                 # fresh runner per repeat (drops result caches); compiled
                 # device programs persist, so repeat 2+ is the steady state
                 # without per-process compile-cache deserialization.
-                # eeg_batch 16 = the validated fused-program batch (larger
-                # batches quadruple the comparison program's footprint and
-                # can OOM the remote compile helper); throughput comes from
-                # the per-window kernels, not the recording batch dim
-                runner = StudyRunner(ds, cfg, eeg_batch=16, tda_chunk=256,
+                # eeg_batch default 16 = the validated fused-program batch
+                # (larger batches grow the comparison program's footprint
+                # and can OOM the remote compile helper); both shapes ride
+                # tuning.py so the measurement battery can A/B and promote
+                # alternatives end-to-end (TDA_TPU_EEG_BATCH/TDA_CHUNK)
+                from tda_eeg_audio_tpu import tuning
+                runner = StudyRunner(ds, cfg, eeg_batch=tuning.EEG_BATCH,
+                                     tda_chunk=tuning.TDA_CHUNK,
                                      results_dir=td, verbose=False)
                 t0 = time.time()
                 X, y, subjects, filenames, meta = \

@@ -31,6 +31,15 @@ cat /tmp/r4_bench_bank.out >> $LOG
 python scratch/write_tuning.py --apply-bank >> $LOG 2>&1
 persist
 
+echo "--- 1c. full-study bench at eeg_batch=32 (the bank path's leaner" \
+     "comparison program may now fit the remote compile helper; halves" \
+     "the per-batch dispatch count if it compiles)" >> $LOG
+TDA_TPU_EEG_BATCH=32 timeout 5400 python bench.py --repeats 3 \
+    > /tmp/r4_bench_batch.out 2>&1
+cat /tmp/r4_bench_batch.out >> $LOG
+python scratch/write_tuning.py --apply-batch 32 >> $LOG 2>&1
+persist
+
 echo "--- 2. comparison attribution (current tree)" >> $LOG
 timeout 3000 python scratch/cmp_attrib.py >> $LOG 2>&1
 persist

@@ -18,6 +18,13 @@ Two modes, both driven by scratch/measure_r4.sh:
                  comparison stage reusing the features stage's diagrams
                  is CPU-parity-pinned (tests/test_eeg_bank.py), so the
                  gate is purely the end-to-end time.
+  --apply-batch  promotion rule for the eeg_batch knob
+                 (/tmp/r4_bench_batch.out vs the best prior bench): the
+                 recording-batch size cannot change results (one compiled
+                 shape, padded batches — tests pin shard==monolith), so
+                 the gate is again purely the end-to-end time.  The batch
+                 bench runs AFTER --apply-bank, so tuning.json's bank
+                 setting is already the measured winner.
 
 Validity gates: a grouped config must not add > 2% overflow windows vs
 the lockstep (overflows reroute through the exact redo path — correct but
@@ -38,6 +45,7 @@ DUAL_OUT = Path("/tmp/r4_dual.out")
 BENCH_DEFAULT = Path("/tmp/r4_bench_default.out")
 BENCH_FLIPPED = Path("/tmp/r4_bench_flipped.out")
 BENCH_BANK = Path("/tmp/r4_bench_bank.out")
+BENCH_BATCH = Path("/tmp/r4_bench_batch.out")
 TUNING = ROOT / "tda_eeg_audio_tpu" / "tuning.json"
 
 
@@ -136,7 +144,42 @@ def main():
     ap.add_argument("--candidates", action="store_true")
     ap.add_argument("--apply", action="store_true")
     ap.add_argument("--apply-bank", action="store_true")
+    ap.add_argument("--apply-batch", type=int, default=None,
+                    metavar="BATCH", help="promote eeg_batch=BATCH iff the "
+                    "batch bench beat every prior bench")
     args = ap.parse_args()
+
+    if args.apply_batch is not None:
+        prior = [v for v in (bench_value(BENCH_DEFAULT),
+                             bench_value(BENCH_BANK)) if v is not None]
+        rec = bench_record(BENCH_BATCH)
+        v_b = rec.get("value") if rec else None
+        if v_b is None or rec.get("ok") is False:
+            print(f"write_tuning: batch bench unusable (value={v_b}, "
+                  f"ok={rec.get('ok') if rec else None}); tuning.json "
+                  f"untouched")
+            return
+        tun = {}
+        try:
+            tun = json.loads(TUNING.read_text())
+        except (OSError, ValueError):
+            pass
+        if (tun.get("eeg_bank")
+                and not rec.get("detail", {}).get("bank_batches")):
+            print("write_tuning: batch bench ran with eeg_bank promoted "
+                  "but never served a bank batch; tuning.json untouched")
+            return
+        if prior and v_b >= min(prior):
+            print(f"write_tuning: batch {v_b:.1f}s did not beat best prior "
+                  f"{min(prior):.1f}s; tuning.json untouched")
+            return
+        _merge_tuning(dict(
+            eeg_batch=args.apply_batch,
+            measured=dict(full_study_batch_s=v_b,
+                          full_study_batch=args.apply_batch)))
+        print(f"write_tuning: WROTE eeg_batch={args.apply_batch} to "
+              f"{TUNING} (batch {v_b:.1f}s vs prior {prior})")
+        return
 
     if args.apply_bank:
         v_def = bench_value(BENCH_DEFAULT)

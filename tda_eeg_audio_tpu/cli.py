@@ -27,6 +27,8 @@ from pathlib import Path
 
 import numpy as np
 
+from . import tuning
+
 
 def _build_runner(args):
     from .runtime import enable_compilation_cache, force_cpu, init_distributed
@@ -101,8 +103,9 @@ def main(argv=None) -> int:
     ap.add_argument("--results", default="results")
     ap.add_argument("--out", default=None,
                     help="artifact dir for preprocess/graphs stages")
-    ap.add_argument("--batch", type=int, default=16)
-    ap.add_argument("--chunk", type=int, default=256)
+    # defaults ride tuning.py (measured by the on-hardware battery)
+    ap.add_argument("--batch", type=int, default=tuning.EEG_BATCH)
+    ap.add_argument("--chunk", type=int, default=tuning.TDA_CHUNK)
     ap.add_argument("--device", choices=["tpu", "cpu"], default="tpu")
     # multi-host (jax.distributed); default to JAX_* env vars
     ap.add_argument("--coordinator", default=None,

@@ -40,6 +40,13 @@ _DEFAULTS = dict(
     # with uniform recording lengths), skipping the comparison's second
     # EEG corr→dist→H1 pass entirely (models/study.py eeg_bank path)
     eeg_bank=False,
+    # recording-batch and TDA-chunk sizes for the bench/production runner.
+    # 16/256 are the validated round-2 shapes: batch 64 OOMed the remote
+    # compile helper on the pre-bank fused program; the bank path's leaner
+    # comparison program may admit 32 — the battery A/Bs it end-to-end
+    # before promotion (scratch/measure_r4.sh step 1c)
+    eeg_batch=16,
+    tda_chunk=256,
 )
 
 _PATH = Path(os.environ.get("TDA_TPU_TUNING_FILE",
@@ -61,6 +68,8 @@ def _load() -> dict:
             grouped_na_max=int(merged["grouped_na_max"]),
             audio_chains=int(merged["audio_chains"]),
             eeg_bank=bool(merged["eeg_bank"]),
+            eeg_batch=int(merged["eeg_batch"]),
+            tda_chunk=int(merged["tda_chunk"]),
         )
     except (OSError, ValueError, TypeError):
         return dict(_DEFAULTS)
@@ -78,3 +87,5 @@ AUDIO_CHAINS = int(os.environ.get("TDA_TPU_AUDIO_CHAINS",
                                   _DATA["audio_chains"]))
 EEG_BANK = (os.environ["TDA_TPU_EEG_BANK"] not in ("", "0", "false")
             if "TDA_TPU_EEG_BANK" in os.environ else _DATA["eeg_bank"])
+EEG_BATCH = int(os.environ.get("TDA_TPU_EEG_BATCH", _DATA["eeg_batch"]))
+TDA_CHUNK = int(os.environ.get("TDA_TPU_TDA_CHUNK", _DATA["tda_chunk"]))

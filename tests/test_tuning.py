@@ -222,3 +222,72 @@ def test_apply_bank_gate_and_merge(monkeypatch, tmp_path):
     # and the loader accepts the merged file
     monkeypatch.setattr(tuning, "_PATH", tj)
     assert tuning._load()["eeg_bank"] is True
+
+
+def test_new_knob_defaults_env_and_file(monkeypatch, tmp_path):
+    """eeg_batch/tda_chunk: defaults 16/256, file beats default, env beats
+    file — same resolution contract as the kernel knobs."""
+    monkeypatch.setattr(tuning, "_PATH", tmp_path / "tuning.json")
+    d = tuning._load()
+    assert d["eeg_batch"] == 16 and d["tda_chunk"] == 256
+
+    p = tmp_path / "tuning.json"
+    p.write_text(json.dumps(dict(eeg_batch=32)))
+    monkeypatch.setenv("TDA_TPU_TUNING_FILE", str(p))
+    monkeypatch.setenv("TDA_TPU_TDA_CHUNK", "128")
+    try:
+        importlib.reload(tuning)
+        assert tuning.EEG_BATCH == 32                # file beats default
+        assert tuning.TDA_CHUNK == 128               # env beats default
+    finally:
+        monkeypatch.undo()
+        importlib.reload(tuning)
+
+
+def test_apply_batch_gate(monkeypatch, tmp_path):
+    """eeg_batch promotes only when the batch bench beats EVERY prior
+    bench (default and bank); a bank-promoted tree whose batch bench fell
+    back to the in-call path must not promote."""
+    wt = _wt()
+    bd = tmp_path / "bd.out"
+    bb = tmp_path / "bb.out"
+    bt = tmp_path / "bt.out"
+    tj = tmp_path / "tuning.json"
+    monkeypatch.setattr(wt, "BENCH_DEFAULT", bd)
+    monkeypatch.setattr(wt, "BENCH_BANK", bb)
+    monkeypatch.setattr(wt, "BENCH_BATCH", bt)
+    monkeypatch.setattr(wt, "TUNING", tj)
+    monkeypatch.setattr(sys, "argv", ["write_tuning.py", "--apply-batch",
+                                      "32"])
+
+    bd.write_text('{"metric": "full_study_seconds", "value": 100.0}\n')
+    bb.write_text('{"metric": "full_study_seconds", "value": 80.0}\n')
+    # beats default but NOT the bank bench → untouched
+    bt.write_text('{"metric": "full_study_seconds", "value": 90.0, '
+                  '"ok": true}\n')
+    wt.main()
+    assert not tj.exists()
+
+    # compile-helper OOM path: no number → untouched
+    bt.write_text("RuntimeError: compile helper 500\n")
+    wt.main()
+    assert not tj.exists()
+
+    # bank promoted, but the batch run never served from the bank: it
+    # measured a fallback, not the promoted configuration → untouched
+    tj.write_text(json.dumps(dict(eeg_bank=True)))
+    bt.write_text('{"metric": "full_study_seconds", "value": 70.0, '
+                  '"ok": true, "detail": {"bank_batches": 0}}\n')
+    wt.main()
+    assert json.loads(tj.read_text()) == dict(eeg_bank=True)
+
+    bt.write_text('{"metric": "full_study_seconds", "value": 70.0, '
+                  '"ok": true, "detail": {"bank_batches": 45}}\n')
+    wt.main()
+    data = json.loads(tj.read_text())
+    assert data["eeg_batch"] == 32
+    assert data["eeg_bank"] is True                  # bank knob preserved
+    assert data["measured"]["full_study_batch_s"] == 70.0
+    # and the loader accepts the merged file
+    monkeypatch.setattr(tuning, "_PATH", tj)
+    assert tuning._load()["eeg_batch"] == 32
