@@ -78,7 +78,10 @@ def main():
         return int(bad.sum())
 
     o_ref = None
-    for chains in (1, 2, 4):
+    # chains=8 is VMEM-marginal at n=124 (stored arena 11.8 MB + 8 col
+    # tiles ~1 MB + packed block); the try/except below turns a compile
+    # failure into a skipped candidate instead of a dead battery step
+    for chains in (1, 2, 4, 8):
         def run(chains=chains):
             return h1_diagrams_pallas(dm, npt, n=P, thresh=2.0, na_max=96,
                                       h1_max=96, step_budget=8192,

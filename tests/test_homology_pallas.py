@@ -271,7 +271,7 @@ def test_grouped_overflow_flags():
     assert np.array(o2["overflow"]).all()
 
 
-@pytest.mark.parametrize("chains", [2, 4])
+@pytest.mark.parametrize("chains", [2, 4, 8])
 def test_multi_chain_parity(chains):
     """chains=C (concurrent creator chains sharing the stored arena)
     == the XLA kernel bar-for-bar, incl. heavy stored-hit matrices and
@@ -348,7 +348,7 @@ def test_mosaic_lowering_device_free():
                       na_max=na, h1_max=96, step_budget=8192, group=group)
         export.export(jax.jit(f_g), platforms=["tpu"])(
             jax.ShapeDtypeStruct((2 * group, 47, 47), jnp.float32))
-    for chains in (1, 2, 4):
+    for chains in (1, 2, 4, 8):
         f_d = partial(h1_diagrams_pallas, n=124, thresh=2.0, na_max=96,
                       h1_max=96, step_budget=8192, chains=chains)
         export.export(jax.jit(f_d), platforms=["tpu"])(
