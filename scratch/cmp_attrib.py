@@ -82,11 +82,22 @@ def main():
         if upto == "h0":
             return chks(w_h0, a_out["features"], e_out["features"])
         e1 = P._h1_pack(e_out)
-        w_h1 = P._wass_sinkhorn_tiered(*e1, *P._h1_pack(a_out))
-        if upto == "h1w":
-            return chks(w_h0, w_h1, a_out["features"], e_out["features"])
-        w_mis = P._wass_sinkhorn_tiered(*e1, *mis)
-        if upto == "misw":
+        a1 = P._h1_pack(a_out)
+        if upto == "splitw":     # diagnostic only: the pre-fusion two-call
+            w_h1 = P._wass_sinkhorn_tiered(*e1, *a1)
+            w_mis = P._wass_sinkhorn_tiered(*e1, *mis)
+            return chks(w_h0, w_h1, w_mis, a_out["features"],
+                        e_out["features"])
+        # production shape: ONE tiered call on concatenated matched +
+        # mismatched pairs (programs._comparison_tail)
+        n_pairs = e1[0].shape[0]
+        w_both = P._wass_sinkhorn_tiered(
+            *(jnp.concatenate([x, x]) for x in e1),
+            jnp.concatenate([a1[0], mis[0]]),
+            jnp.concatenate([a1[1], mis[1]]),
+            jnp.concatenate([a1[2], mis[2]]))
+        w_h1, w_mis = w_both[:n_pairs], w_both[n_pairs:]
+        if upto == "bothw":
             return chks(w_h0, w_h1, w_mis, a_out["features"],
                         e_out["features"])
         out = P._comparison_stats_program(
@@ -94,8 +105,8 @@ def main():
             kmask, aud["n_pts"] < 3, mis_degen, n_win_e, mis_n_win, K)
         return chks(out["w_h0"], out["w_h1"], out["corr_r"])
 
-    phases = ["takens", "pairsel", "eegdg", "auddg", "h0", "h1w",
-              "misw", "stats"]
+    phases = ["takens", "pairsel", "eegdg", "auddg", "h0", "bothw",
+              "stats"]
     res = {}
     NB = 4   # batches per measurement (amortize dispatch)
     for ph in phases:
@@ -113,6 +124,20 @@ def main():
     for ph in phases:
         marg[ph] = round(res[ph] - prev, 4)
         prev = res[ph]
+    # diagnostics off the marginal chain: the pre-fusion two-call Sinkhorn
+    # (fusion saving = splitw - bothw) — same prefix through h0
+    pipeline("splitw")
+    ts = []
+    for _ in range(4):
+        t0 = time.time()
+        for _ in range(NB):
+            pipeline("splitw")
+        ts.append((time.time() - t0) / NB)
+    res["splitw_diag"] = round(min(ts), 4)
+    marg["sinkhorn_fusion_saving"] = round(res["splitw_diag"] - res["bothw"],
+                                           4)
+    # expected bank saving: the EEG corr→dist→H1 prefix the bank path skips
+    marg["bank_skippable"] = round(marg["pairsel"] + marg["eegdg"], 4)
     print(json.dumps(dict(prefix=res, marginal=marg,
                           per_pair_ms={k: round(1e3 * v / (Bp * 5 * K), 4)
                                        for k, v in marg.items()})))
