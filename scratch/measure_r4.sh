@@ -45,7 +45,9 @@ timeout 3000 python scratch/cmp_attrib.py >> $LOG 2>&1
 persist
 
 echo "--- 3. backend crossover n in {48,64,80,96,124} (VERDICT #5)" >> $LOG
-timeout 3000 python scratch/bench_crossover.py 512 >> $LOG 2>&1
+timeout 3000 python scratch/bench_crossover.py 512 > /tmp/r4_crossover.out 2>&1
+cat /tmp/r4_crossover.out >> $LOG
+python scratch/write_tuning.py --apply-crossover >> $LOG 2>&1
 persist
 
 echo "--- 4. EEG lockstep chunk sweep (VERDICT #1 iv)" >> $LOG

@@ -18,6 +18,12 @@ Two modes, both driven by scratch/measure_r4.sh:
                  comparison stage reusing the features stage's diagrams
                  is CPU-parity-pinned (tests/test_eeg_bank.py), so the
                  gate is purely the end-to-end time.
+  --apply-crossover  set pallas_min_n from the crossover sweep
+                 (/tmp/r4_crossover.out): the smallest measured n from
+                 which pallas wins at every measured size above it, with
+                 bars-match=True at every measured size (both backends
+                 are exact, so this knob is promoted on the kernel-level
+                 sweep alone — misrouting costs speed, never results).
   --apply-batch  promotion rule for the eeg_batch knob
                  (/tmp/r4_bench_batch.out vs the best prior bench): the
                  recording-batch size cannot change results (one compiled
@@ -46,6 +52,7 @@ BENCH_DEFAULT = Path("/tmp/r4_bench_default.out")
 BENCH_FLIPPED = Path("/tmp/r4_bench_flipped.out")
 BENCH_BANK = Path("/tmp/r4_bench_bank.out")
 BENCH_BATCH = Path("/tmp/r4_bench_batch.out")
+CROSSOVER_OUT = Path("/tmp/r4_crossover.out")
 TUNING = ROOT / "tda_eeg_audio_tpu" / "tuning.json"
 
 
@@ -120,6 +127,32 @@ def chains_candidate():
     return dict(chains=c_best, ms=t_best, ms_single=t1)
 
 
+def crossover_candidate():
+    """Measured pallas_min_n, or None if the sweep is unusable.
+
+    Requires bars-match=True on EVERY parsed row (an on-device mismatch
+    at any size voids the sweep: exactness is the premise of promoting
+    without an end-to-end bench).  Returns the smallest measured n from
+    which pallas wins at every measured size >= it; if pallas never wins,
+    returns a sentinel above the largest measured size so nothing routes
+    to pallas."""
+    txt = _read(CROSSOVER_OUT)
+    rows = [(int(n), w, bm) for n, w, bm in re.findall(
+        r"n=\s*(\d+)\s+bitset\s+[\d.]+ ms/win\s+pallas\s+[\d.]+ ms/win\s+"
+        r"winner=(\w+)\s+bars-match=(\w+)", txt)]
+    if not rows:
+        return None
+    if any(bm != "True" for _, _, bm in rows):
+        return None
+    rows.sort()
+    thr = rows[-1][0] + 1                     # pallas never wins
+    for n, w, _ in reversed(rows):
+        if w != "pallas":
+            break
+        thr = n
+    return thr
+
+
 def bench_record(p: Path):
     """Last full_study_seconds JSON line as a dict, or None."""
     for line in reversed(_read(p).splitlines()):
@@ -147,7 +180,19 @@ def main():
     ap.add_argument("--apply-batch", type=int, default=None,
                     metavar="BATCH", help="promote eeg_batch=BATCH iff the "
                     "batch bench beat every prior bench")
+    ap.add_argument("--apply-crossover", action="store_true")
     args = ap.parse_args()
+
+    if args.apply_crossover:
+        thr = crossover_candidate()
+        if thr is None:
+            print("write_tuning: crossover sweep unusable (missing rows or "
+                  "a bars-match failure); tuning.json untouched")
+            return
+        _merge_tuning(dict(pallas_min_n=thr,
+                           measured=dict(pallas_min_n=thr)))
+        print(f"write_tuning: WROTE pallas_min_n={thr} to {TUNING}")
+        return
 
     if args.apply_batch is not None:
         prior = [v for v in (bench_value(BENCH_DEFAULT),

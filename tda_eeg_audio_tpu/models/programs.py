@@ -875,22 +875,23 @@ PALLAS_NA_MAX = 96
 # battery (scratch/measure_r4.sh → scratch/write_tuning.py) flips them only
 # after the flipped full-study bench beats the default end-to-end.
 from ..tuning import (AUDIO_CHAINS, EEG_SMALL_KERNEL,  # noqa: F401
-                      GROUPED_NA_MAX, GROUPED_SIZE)
+                      GROUPED_NA_MAX, GROUPED_SIZE, PALLAS_MIN_N)
 
 
 def h1_backend_auto(n: int) -> str:
     """Route per shape+platform: the per-window Pallas kernel wins 14x at
-    the audio n=124 shape (0.41 vs 5.7 ms/window measured on v5e); at
-    n ≤ 64 the grouped-segmented Pallas kernel (one segmented pivot reduce
-    advancing 8 windows per step — see ops/homology_pallas.py) replaces
-    the batched XLA lockstep (which pays max-chain divergence over
-    256-window chunks plus per-step HBM arena traffic).  Off-TPU both
+    the audio n=124 shape (0.41 vs 5.7 ms/window measured on v5e); below
+    the measured crossover (tuning.PALLAS_MIN_N, set by the on-hardware
+    sweep scratch/bench_crossover.py) either the batched XLA lockstep or
+    the grouped-segmented Pallas kernel (one segmented pivot reduce
+    advancing 8 windows per step — see ops/homology_pallas.py) serves the
+    small-n EEG clouds, per the battery's end-to-end A/B.  Off-TPU both
     fall back to the portable XLA kernel."""
     import jax
 
     if jax.default_backend() != "tpu":
         return "bitset"
-    if n > 64:
+    if n >= PALLAS_MIN_N:
         return "pallas"
     return EEG_SMALL_KERNEL if EEG_SMALL_KERNEL in ("grouped", "bitset") \
         else "bitset"

@@ -34,6 +34,14 @@ _DEFAULTS = dict(
     grouped_na_max=64,
     # concurrent creator chains in the per-window audio H1 kernel
     audio_chains=1,
+    # smallest cloud size routed to the per-window Pallas kernel by
+    # h1_backend_auto (smaller clouds ride the small-n kernel).  65 =
+    # the pre-battery assumption measured only at the study's two shapes
+    # (n=47, n=124); the crossover sweep (scratch/bench_crossover.py,
+    # write_tuning --apply-crossover) replaces it with the measured
+    # crossover — both backends are bar-for-bar exact, so this knob can
+    # only change speed (VERDICT r3 weak #3)
+    pallas_min_n=65,
     # reuse the features stage's per-window EEG diagrams in the comparison
     # stage (the paired window set is a subset of the feature set whenever
     # feature sampling covers all windows — true under "min" equalization
@@ -67,6 +75,7 @@ def _load() -> dict:
             grouped_size=int(merged["grouped_size"]),
             grouped_na_max=int(merged["grouped_na_max"]),
             audio_chains=int(merged["audio_chains"]),
+            pallas_min_n=int(merged["pallas_min_n"]),
             eeg_bank=bool(merged["eeg_bank"]),
             eeg_batch=int(merged["eeg_batch"]),
             tda_chunk=int(merged["tda_chunk"]),
@@ -85,6 +94,8 @@ GROUPED_NA_MAX = int(os.environ.get("TDA_TPU_GROUPED_NA_MAX",
                                     _DATA["grouped_na_max"]))
 AUDIO_CHAINS = int(os.environ.get("TDA_TPU_AUDIO_CHAINS",
                                   _DATA["audio_chains"]))
+PALLAS_MIN_N = int(os.environ.get("TDA_TPU_PALLAS_MIN_N",
+                                  _DATA["pallas_min_n"]))
 EEG_BANK = (os.environ["TDA_TPU_EEG_BANK"] not in ("", "0", "false")
             if "TDA_TPU_EEG_BANK" in os.environ else _DATA["eeg_bank"])
 EEG_BATCH = int(os.environ.get("TDA_TPU_EEG_BATCH", _DATA["eeg_batch"]))

@@ -291,3 +291,65 @@ def test_apply_batch_gate(monkeypatch, tmp_path):
     # and the loader accepts the merged file
     monkeypatch.setattr(tuning, "_PATH", tj)
     assert tuning._load()["eeg_batch"] == 32
+
+
+def test_apply_crossover(monkeypatch, tmp_path):
+    """pallas_min_n comes from the sweep: smallest n from which pallas
+    wins at every measured size above; any bars-match failure voids the
+    sweep; pallas-never-wins routes nothing to pallas."""
+    wt = _wt()
+    co = tmp_path / "co.out"
+    tj = tmp_path / "tuning.json"
+    monkeypatch.setattr(wt, "CROSSOVER_OUT", co)
+    monkeypatch.setattr(wt, "TUNING", tj)
+
+    co.write_text(
+        "n=  48  bitset   0.150 ms/win   pallas   0.200 ms/win   "
+        "winner=bitset   bars-match=True\n"
+        "n=  64  bitset   0.200 ms/win   pallas   0.210 ms/win   "
+        "winner=bitset   bars-match=True\n"
+        "n=  80  bitset   0.900 ms/win   pallas   0.300 ms/win   "
+        "winner=pallas   bars-match=True\n"
+        "n=  96  bitset   2.000 ms/win   pallas   0.350 ms/win   "
+        "winner=pallas   bars-match=True\n"
+        "n= 124  bitset   5.700 ms/win   pallas   0.410 ms/win   "
+        "winner=pallas   bars-match=True\n")
+    assert wt.crossover_candidate() == 80
+
+    # non-monotone winner: only the contiguous top run counts
+    co.write_text(
+        "n=  48  bitset   0.1 ms/win   pallas   0.05 ms/win   "
+        "winner=pallas   bars-match=True\n"
+        "n=  64  bitset   0.1 ms/win   pallas   0.20 ms/win   "
+        "winner=bitset   bars-match=True\n"
+        "n=  80  bitset   0.9 ms/win   pallas   0.30 ms/win   "
+        "winner=pallas   bars-match=True\n")
+    assert wt.crossover_candidate() == 80
+
+    # a single on-device mismatch voids the sweep
+    co.write_text(
+        "n=  80  bitset   0.9 ms/win   pallas   0.3 ms/win   "
+        "winner=pallas   bars-match=False\n")
+    assert wt.crossover_candidate() is None
+
+    # pallas never wins → sentinel above the largest measured size
+    co.write_text(
+        "n=  80  bitset   0.2 ms/win   pallas   0.3 ms/win   "
+        "winner=bitset   bars-match=True\n"
+        "n= 124  bitset   0.2 ms/win   pallas   0.3 ms/win   "
+        "winner=bitset   bars-match=True\n")
+    assert wt.crossover_candidate() == 125
+
+    # --apply-crossover end to end: merge + loader round trip
+    co.write_text(
+        "n=  64  bitset   0.2 ms/win   pallas   0.1 ms/win   "
+        "winner=pallas   bars-match=True\n"
+        "n= 124  bitset   5.7 ms/win   pallas   0.4 ms/win   "
+        "winner=pallas   bars-match=True\n")
+    tj.write_text(json.dumps(dict(eeg_bank=True)))
+    monkeypatch.setattr(sys, "argv", ["write_tuning.py", "--apply-crossover"])
+    wt.main()
+    data = json.loads(tj.read_text())
+    assert data["pallas_min_n"] == 64 and data["eeg_bank"] is True
+    monkeypatch.setattr(tuning, "_PATH", tj)
+    assert tuning._load()["pallas_min_n"] == 64
