@@ -51,7 +51,10 @@ python scratch/write_tuning.py --apply-crossover >> $LOG 2>&1
 persist
 
 echo "--- 4. EEG lockstep chunk sweep (VERDICT #1 iv)" >> $LOG
-timeout 3000 python scratch/sweep_feature_chunks.py 96 >> $LOG 2>&1
+timeout 3000 python scratch/sweep_feature_chunks.py 96 \
+    > /tmp/r4_chunks.out 2>&1
+cat /tmp/r4_chunks.out >> $LOG
+python scratch/write_tuning.py --apply-chunk >> $LOG 2>&1
 persist
 
 echo "--- 5. grouped-segmented kernel A/B at n=47 (the round-4 big lever)" >> $LOG

@@ -42,13 +42,19 @@ def main():
             agg, ovf = P.eeg_feature_program(
                 eeg, ns_e, jnp.asarray(use_idx), jnp.asarray(use_mask),
                 cfg, NWM, K, chunk=chunk, na_max=na_max)
-            outs.append(jnp.sum(agg) + jnp.sum(ovf))
+            outs.append(jnp.stack([jnp.sum(agg),
+                                   jnp.sum(ovf).astype(jnp.float32)]))
         s = jnp.stack(outs).block_until_ready()
         dt = time.time() - t0
         n_win = n_rec * 5 * K
+        # ovf reported SEPARATELY from the aggregate checksum: extra
+        # overflows mean extra exact-redo work the sweep's clock doesn't
+        # see, so the promotion gate (write_tuning --apply-chunk) requires
+        # a candidate's ovf to match the default config's
         print(f"{label}: chunk={chunk} na_max={na_max} "
               f"{dt:.2f}s  {dt / n_win * 1e3:.4f} ms/win  "
-              f"ovf_sum_chk={float(jnp.sum(s)):.3g}")
+              f"ovf={int(np.asarray(s)[:, 1].sum())} "
+              f"chk={float(np.asarray(s)[:, 0].sum()):.6g}")
         return dt
 
     # both directions: bigger chunks amortize per-iteration overhead,

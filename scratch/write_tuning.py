@@ -24,6 +24,12 @@ Two modes, both driven by scratch/measure_r4.sh:
                  bars-match=True at every measured size (both backends
                  are exact, so this knob is promoted on the kernel-level
                  sweep alone — misrouting costs speed, never results).
+  --apply-chunk  set tda_chunk/feature_na_max from the features-stage
+                 sweep (/tmp/r4_chunks.out): fastest rep-phase config,
+                 promoted only if it beats the default (256, 128) config
+                 in the same sweep AND matches its overflow count (extra
+                 overflows mean extra exact-redo work the sweep's clock
+                 doesn't see).
   --apply-batch  promotion rule for the eeg_batch knob
                  (/tmp/r4_bench_batch.out vs the best prior bench): the
                  recording-batch size cannot change results (one compiled
@@ -53,6 +59,7 @@ BENCH_FLIPPED = Path("/tmp/r4_bench_flipped.out")
 BENCH_BANK = Path("/tmp/r4_bench_bank.out")
 BENCH_BATCH = Path("/tmp/r4_bench_batch.out")
 CROSSOVER_OUT = Path("/tmp/r4_crossover.out")
+CHUNKS_OUT = Path("/tmp/r4_chunks.out")
 TUNING = ROOT / "tda_eeg_audio_tpu" / "tuning.json"
 
 
@@ -153,6 +160,32 @@ def crossover_candidate():
     return thr
 
 
+def chunk_candidate():
+    """Best (tda_chunk, feature_na_max) from the features-stage sweep, or
+    None.  Uses rep-phase rows only (warm rows time compilation); per
+    config keeps the MIN across reps (±50% worker variance); requires the
+    winner's overflow count to equal the default config's and a win over
+    the default's time."""
+    txt = _read(CHUNKS_OUT)
+    rows = re.findall(
+        r"rep\d+: chunk=(\d+) na_max=(\d+)\s+([\d.]+)s\s+[\d.]+ ms/win\s+"
+        r"ovf=(\d+)", txt)
+    best = {}
+    for c, na, t, ovf in rows:
+        key = (int(c), int(na))
+        cur = best.get(key)
+        cand = (float(t), int(ovf))
+        if cur is None or cand[0] < cur[0]:
+            best[key] = cand
+    default = best.get((256, 128))
+    if not default or len(best) < 2:
+        return None
+    (c, na), (t, ovf) = min(best.items(), key=lambda kv: kv[1][0])
+    if (c, na) == (256, 128) or t >= default[0] or ovf != default[1]:
+        return None
+    return dict(tda_chunk=c, feature_na_max=na, s=t, s_default=default[0])
+
+
 def bench_record(p: Path):
     """Last full_study_seconds JSON line as a dict, or None."""
     for line in reversed(_read(p).splitlines()):
@@ -181,7 +214,22 @@ def main():
                     metavar="BATCH", help="promote eeg_batch=BATCH iff the "
                     "batch bench beat every prior bench")
     ap.add_argument("--apply-crossover", action="store_true")
+    ap.add_argument("--apply-chunk", action="store_true")
     args = ap.parse_args()
+
+    if args.apply_chunk:
+        ch = chunk_candidate()
+        if ch is None:
+            print("write_tuning: no features-shape winner (or overflow "
+                  "mismatch); tuning.json untouched")
+            return
+        _merge_tuning(dict(tda_chunk=ch["tda_chunk"],
+                           feature_na_max=ch["feature_na_max"],
+                           measured=dict(feature_sweep=ch)))
+        print(f"write_tuning: WROTE tda_chunk={ch['tda_chunk']} "
+              f"feature_na_max={ch['feature_na_max']} to {TUNING} "
+              f"({ch['s']:.2f}s vs default {ch['s_default']:.2f}s)")
+        return
 
     if args.apply_crossover:
         thr = crossover_candidate()

@@ -715,9 +715,22 @@ def comparison_from_bank(e_bank, gidx, n_e, audio, n_a, mis_h1, mis_n_win,
         aud["n_pts"].reshape(B, N_BANDS * K),
         cfg.max_edge_length, aud_chunk, 96, 8192)
     g = {k: _bank_take(v, gidx) for k, v in e_bank.items()}
-    W = min(96, g["h1_m"].shape[1])
-    e1 = (g["h1_b"][:, :W], g["h1_d"][:, :W], g["h1_m"][:, :W])
-    e_ovf = g["h1_m"][:, W:].reshape(B, -1).any(axis=1)
+    # Normalize the H1 rows to this path's canonical 96 width.  Narrower
+    # banks (feature_na_max < 96) are zero-PADDED rather than consumed
+    # as-is: downstream Sinkhorn padding tiers derive from row width, so a
+    # 64-wide row would produce a differently-shaped (1-ULP different)
+    # reduction than comparison_program's.  Bar counts beyond a narrow
+    # bank's width cannot hide here — the kernel flags bar-count overflow
+    # at its h1_max (ops/homology_h1.py _h1_extract) and the driver drops
+    # overflowed recordings from the bank (models/study.py).
+    Wb = g["h1_m"].shape[1]
+    if Wb < 96:
+        e1 = tuple(jnp.pad(g[k], ((0, 0), (0, 96 - Wb)))
+                   for k in ("h1_b", "h1_d", "h1_m"))
+        e_ovf = jnp.zeros((B,), bool)
+    else:
+        e1 = (g["h1_b"][:, :96], g["h1_d"][:, :96], g["h1_m"][:, :96])
+        e_ovf = g["h1_m"][:, 96:].reshape(B, -1).any(axis=1)
     return _comparison_tail(g["h0_d"], g["h0_m"], e1, g["feats"], e_ovf,
                             aud, a_out, aud["wmask"],
                             n_win_e, aud["n_win"].astype(jnp.int32),

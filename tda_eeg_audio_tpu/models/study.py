@@ -125,6 +125,9 @@ class StudyRunner:
         self.use_eeg_bank = ((tuning.EEG_BANK if eeg_bank is None
                               else eeg_bank) and self.on_device)
         self._eeg_bank = None
+        # features-stage H1 arena width (measured knob; windows beyond it
+        # overflow into the exact host redo, so results never change)
+        self.feature_na_max = tuning.FEATURE_NA_MAX
         self.failed_files: list[tuple[str, str]] = []
         self._failed_idx: set[int] = set()
         # HBM-resident ingest (io.device_store.DeviceStore): every stage
@@ -425,7 +428,8 @@ class StudyRunner:
                 outs = programs.eeg_feature_program(
                     self._put(eeg), self._put(ns_e),
                     self._put(use_idx), self._put(use_mask),
-                    cfg, N_WIN_MAX, K, chunk=self.tda_chunk, return_dm0=True,
+                    cfg, N_WIN_MAX, K, chunk=self.tda_chunk,
+                    na_max=self.feature_na_max, return_dm0=True,
                     return_bank=self.use_eeg_bank)
                 if self.use_eeg_bank:
                     agg_dev, diag_dev, ovf_dev, bank_dev = outs

@@ -55,6 +55,13 @@ _DEFAULTS = dict(
     # before promotion (scratch/measure_r4.sh step 1c)
     eeg_batch=16,
     tda_chunk=256,
+    # stored-column arena width of the features stage's EEG H1 kernel
+    # (observed EEG creator count tops out at 57; 64 halves the arena so
+    # bigger chunks stay in the workspace budget).  Windows that exceed it
+    # overflow → exact host redo, so this knob can only trade speed for
+    # redo work, never change results; the sweep's promotion gate
+    # requires a candidate's overflow count to match the default's
+    feature_na_max=128,
 )
 
 _PATH = Path(os.environ.get("TDA_TPU_TUNING_FILE",
@@ -79,6 +86,7 @@ def _load() -> dict:
             eeg_bank=bool(merged["eeg_bank"]),
             eeg_batch=int(merged["eeg_batch"]),
             tda_chunk=int(merged["tda_chunk"]),
+            feature_na_max=int(merged["feature_na_max"]),
         )
     except (OSError, ValueError, TypeError):
         return dict(_DEFAULTS)
@@ -100,3 +108,5 @@ EEG_BANK = (os.environ["TDA_TPU_EEG_BANK"] not in ("", "0", "false")
             if "TDA_TPU_EEG_BANK" in os.environ else _DATA["eeg_bank"])
 EEG_BATCH = int(os.environ.get("TDA_TPU_EEG_BATCH", _DATA["eeg_batch"]))
 TDA_CHUNK = int(os.environ.get("TDA_TPU_TDA_CHUNK", _DATA["tda_chunk"]))
+FEATURE_NA_MAX = int(os.environ.get("TDA_TPU_FEATURE_NA_MAX",
+                                    _DATA["feature_na_max"]))

@@ -212,3 +212,37 @@ def test_studyrunner_bank_rows_match_default():
                     (k, key(rd), rb[k], v)
             else:
                 assert rb[k] == v, (k, key(rd))
+
+
+def test_comparison_from_bank_narrow_rows_tiny():
+    """A feature_na_max=64 bank (the sweep's candidate arena width,
+    tuning.FEATURE_NA_MAX) produces 64-wide H1 rows; comparison_from_bank
+    must slice them through W=min(96, width) and still reproduce
+    comparison_program bit for bit whenever nothing overflows (EEG creator
+    counts top out far below 64 at study shapes)."""
+    from tda_eeg_audio_tpu.models.programs import eeg_feature_program
+
+    case = _tiny_bank_case()
+    # rebuild the bank at the narrow arena width
+    B = case["eeg"].shape[0]
+    cfg, win, step = case["cfg"], case["cfg"].win_samples, \
+        case["cfg"].step_samples
+    nw = np.array([(n - win) // step + 1 for n in case["n_e"]])
+    K_feat = int(nw.max())
+    use_idx = np.minimum(np.arange(K_feat)[None, None, :],
+                         (nw - 1)[:, None, None]).astype(np.int32)
+    use_idx = np.broadcast_to(use_idx, (B, 5, K_feat)).copy()
+    use_mask = np.broadcast_to(np.arange(K_feat)[None, None, :]
+                               < nw[:, None, None], (B, 5, K_feat)).copy()
+    _, _, bank = eeg_feature_program(
+        jnp.asarray(case["eeg"]), jnp.asarray(case["n_e"]),
+        jnp.asarray(use_idx), jnp.asarray(use_mask), cfg,
+        case["n_win_max"], K_feat, chunk=16, na_max=64, return_bank=True)
+    assert bank["h1_m"].shape[-1] == 64          # the narrow rows, really
+    flat = {k: jnp.asarray(np.asarray(v).reshape(
+        B * 5 * K_feat, *np.asarray(v).shape[2:]))
+        for k, v in bank.items()}
+    case = {**case, "flat": flat}
+    out = _run_bank(case)
+    for k in case["ref"]:
+        np.testing.assert_array_equal(out[k], case["ref"][k], err_msg=k)

@@ -353,3 +353,49 @@ def test_apply_crossover(monkeypatch, tmp_path):
     assert data["pallas_min_n"] == 64 and data["eeg_bank"] is True
     monkeypatch.setattr(tuning, "_PATH", tj)
     assert tuning._load()["pallas_min_n"] == 64
+
+
+def test_apply_chunk_gate(monkeypatch, tmp_path):
+    """tda_chunk/feature_na_max promote from the features sweep only on a
+    time win at MATCHING overflow count vs the (256, 128) default."""
+    wt = _wt()
+    ch = tmp_path / "ch.out"
+    tj = tmp_path / "tuning.json"
+    monkeypatch.setattr(wt, "CHUNKS_OUT", ch)
+    monkeypatch.setattr(wt, "TUNING", tj)
+
+    # warm rows must be ignored; min across reps per config
+    ch.write_text(
+        "warm: chunk=256 na_max=128 60.00s  0.3000 ms/win  ovf=0 chk=1\n"
+        "warm: chunk=512 na_max=64 50.00s  0.2500 ms/win  ovf=0 chk=1\n"
+        "rep0: chunk=256 na_max=128 10.00s  0.0500 ms/win  ovf=0 chk=1\n"
+        "rep0: chunk=512 na_max=64 9.00s  0.0450 ms/win  ovf=0 chk=1\n"
+        "rep1: chunk=256 na_max=128 8.00s  0.0400 ms/win  ovf=0 chk=1\n"
+        "rep1: chunk=512 na_max=64 7.00s  0.0350 ms/win  ovf=0 chk=1\n")
+    c = wt.chunk_candidate()
+    assert c["tda_chunk"] == 512 and c["feature_na_max"] == 64
+    assert c["s"] == 7.0 and c["s_default"] == 8.0
+
+    # a faster config with EXTRA overflows (hidden exact-redo cost) loses
+    ch.write_text(
+        "rep0: chunk=256 na_max=128 10.00s  0.0500 ms/win  ovf=2 chk=1\n"
+        "rep0: chunk=1024 na_max=64 5.00s  0.0250 ms/win  ovf=9 chk=1\n")
+    assert wt.chunk_candidate() is None
+
+    # default slowest-but-only config, or missing default → no promotion
+    ch.write_text(
+        "rep0: chunk=512 na_max=64 5.00s  0.0250 ms/win  ovf=0 chk=1\n")
+    assert wt.chunk_candidate() is None
+
+    # end to end: merge preserves other knobs
+    ch.write_text(
+        "rep0: chunk=256 na_max=128 10.00s  0.0500 ms/win  ovf=1 chk=1\n"
+        "rep0: chunk=512 na_max=64 7.00s  0.0350 ms/win  ovf=1 chk=1\n")
+    tj.write_text(json.dumps(dict(eeg_bank=True)))
+    monkeypatch.setattr(sys, "argv", ["write_tuning.py", "--apply-chunk"])
+    wt.main()
+    data = json.loads(tj.read_text())
+    assert data["tda_chunk"] == 512 and data["feature_na_max"] == 64
+    assert data["eeg_bank"] is True
+    monkeypatch.setattr(tuning, "_PATH", tj)
+    assert tuning._load()["feature_na_max"] == 64
