@@ -29,9 +29,12 @@ def main():
     Bp, K, NWM = 16, 39, 90
     n_rec = int(sys.argv[1]) if len(sys.argv) > 1 else 96
     ds = build_synthetic_device(n_subjects=6, n_per_subject=n_rec // 12)
-    rng = np.random.default_rng(0)
 
     def run(chunk, na_max, label):
+        # fresh RNG per call: every config must see IDENTICAL window
+        # samples, or the promotion gate's ovf/chk comparisons would mix
+        # sampling noise into the config difference
+        rng = np.random.default_rng(0)
         outs = []
         t0 = time.time()
         for b0 in range(0, n_rec, Bp):
