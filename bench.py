@@ -138,6 +138,8 @@ def full_study(args) -> None:
                         n_subjects=n_subj, n_per_subject=per)
                     jax.block_until_ready((ds.eeg, ds.audio))
                     t_ingest = time.time() - t0
+                    print(f"[bench] ingest done in {t_ingest:.1f}s",
+                          file=sys.stderr, flush=True)
                 # fresh runner per repeat (drops result caches); compiled
                 # device programs persist, so repeat 2+ is the steady state
                 # without per-process compile-cache deserialization.
@@ -154,12 +156,19 @@ def full_study(args) -> None:
                 X, y, subjects, filenames, meta = \
                     runner.compute_feature_dataset()
                 t_feat = time.time() - t0
+                print(f"[bench] rep {rep}: features {t_feat:.1f}s",
+                      file=sys.stderr, flush=True)
                 t1 = time.time()
                 cmp_out = runner.run_comparison(n_permutations=1000)
                 t_cmp = time.time() - t1
+                print(f"[bench] rep {rep}: comparison {t_cmp:.1f}s",
+                      file=sys.stderr, flush=True)
                 t2 = time.time()
                 ctl = runner.run_control()
                 t_ctrl = time.time() - t2
+                print(f"[bench] rep {rep}: control {t_ctrl:.1f}s "
+                      f"(total {time.time() - t0:.1f}s)",
+                      file=sys.stderr, flush=True)
             except Exception as e:
                 # the shared worker's tunnel can drop mid-repeat; report
                 # completed repeats rather than dying without a JSON line

@@ -198,9 +198,17 @@ def eeg_feature_program(eeg: jnp.ndarray, n_samples: jnp.ndarray,
     # per-recording overflow (na_max/step-budget exceeded on any used
     # window): the caller reroutes those recordings through the staged
     # path's host fallback instead of silently keeping a truncated diagram
-    ovf = jnp.moveaxis(ovf, 0, 1).reshape(B, n_chunks * chunk_m)[:, :M]
-    ovf = (ovf.reshape(B, N_BANDS, K)
-           & use_mask.reshape(B, N_BANDS, K)).any(axis=(1, 2))
+    ovf_cols = jnp.moveaxis(ovf, 0, 1).reshape(
+        B, n_chunks * chunk_m)[:, :M].reshape(B, N_BANDS, K)
+    ovf = (ovf_cols & use_mask.reshape(B, N_BANDS, K)).any(axis=(1, 2))
+    if return_bank:
+        # bank rows must be exact on EVERY column — union mode appends the
+        # comparison's paired windows as mask=False columns (excluded from
+        # the feature aggregate, hence from `ovf`), but a truncated diagram
+        # there would silently corrupt comparison_from_bank.  The driver
+        # drops `ovf`-flagged rows from the bank without triggering the
+        # staged feature redo.
+        bank["ovf"] = ovf_cols.any(axis=(1, 2))
     agg = aggregate_mean_std(feats, use_mask.reshape(B, N_BANDS, K))
     agg = agg.reshape(B, N_BANDS, 2, 11, 2)
     if not return_dm0:
@@ -778,21 +786,27 @@ def unpack_comparison_outputs(flat: np.ndarray, B: int) -> dict:
 
 
 @jax.jit
-def pack_feature_outputs(agg, diag, ovf):
+def pack_feature_outputs(agg, diag, ovf, bank_ovf=None):
     """eeg_feature_program outputs → one flat f32 vector per batch."""
-    return jnp.concatenate([jnp.ravel(agg).astype(jnp.float32),
-                            jnp.ravel(diag).astype(jnp.float32),
-                            jnp.ravel(ovf).astype(jnp.float32)])
+    parts = [jnp.ravel(agg).astype(jnp.float32),
+             jnp.ravel(diag).astype(jnp.float32),
+             jnp.ravel(ovf).astype(jnp.float32)]
+    if bank_ovf is not None:
+        parts.append(jnp.ravel(bank_ovf).astype(jnp.float32))
+    return jnp.concatenate(parts)
 
 
-def unpack_feature_outputs(flat: np.ndarray, B: int):
-    """(agg (B,5,2,11,2), diag (B,5,8), ovf (B,) bool) from the packed
-    vector."""
+def unpack_feature_outputs(flat: np.ndarray, B: int, has_bank: bool = False):
+    """(agg (B,5,2,11,2), diag (B,5,8), ovf (B,) bool[, bank_ovf (B,) bool])
+    from the packed vector."""
     n_agg = B * N_BANDS * 2 * 11 * 2
     n_dg = B * N_BANDS * 8
     agg = flat[:n_agg].reshape(B, N_BANDS, 2, 11, 2)
     diag = flat[n_agg:n_agg + n_dg].reshape(B, N_BANDS, 8)
     ovf = flat[n_agg + n_dg:n_agg + n_dg + B] > 0.5
+    if has_bank:
+        off = n_agg + n_dg + B
+        return agg, diag, ovf, flat[off:off + B] > 0.5
     return agg, diag, ovf
 
 

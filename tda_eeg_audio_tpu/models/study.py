@@ -396,11 +396,20 @@ class StudyRunner:
                                  np.asarray(ovf)[: len(idxs_)], idxs_))
             pending.clear()
 
+        # union-bank mode: the comparison stage's paired windows ride the
+        # features program as K_CMP extra mask=False columns (computed but
+        # excluded from the feature aggregate), so the bank serves the
+        # comparison even when the md5 sample is a strict subset of a
+        # recording's windows (variable-length recordings, the study's
+        # actual regime — md5-subset coverage only holds when every
+        # recording has exactly K windows)
+        with_bank = self.use_eeg_bank and self.on_device
+        Kx = K + K_CMP if with_bank else K
         for b0 in range(0, len(all_idx), self.eeg_batch):
             idxs = all_idx[b0:b0 + self.eeg_batch]
             B = len(idxs)
-            use_idx = np.zeros((B, N_BANDS, K), np.int32)
-            use_mask = np.zeros((B, N_BANDS, K), bool)
+            use_idx = np.zeros((B, N_BANDS, Kx), np.int32)
+            use_mask = np.zeros((B, N_BANDS, Kx), bool)
             for bi_, i in enumerate(idxs):
                 fn_, subj_, cond_ = self.ds.index[i]
                 stem = fn_.replace(".mat", "")
@@ -412,6 +421,8 @@ class StudyRunner:
                         cfg.window_sample_seed)
                     use_idx[bi_, bd, :len(sel)] = sel
                     use_mask[bi_, bd, :len(sel)] = True
+                if with_bank:
+                    use_idx[bi_, :, K:] = self._paired_comp_indices(i, nw)
 
             if self.on_device:
                 # fused single-call path: nothing big crosses the link, and
