@@ -82,7 +82,7 @@ def _wait_for_backend(attempts: int = 4, backoff_s: float = 75.0,
 
 
 def _emit(payload: dict) -> None:
-    print(json.dumps(payload))
+    print(json.dumps(payload), flush=True)
 
 
 def full_study(args) -> None:
@@ -199,12 +199,22 @@ def full_study(args) -> None:
                       "rows_complete":
                           len(cmp_out["detailed_rows"]) >= len(ds) * 4,
                       "X_shape": list(X.shape)}
+            # emit the FULL result line after EVERY completed repeat ("last
+            # line wins"): the driver's bench runs under a hard timeout and
+            # a SIGKILL mid-repeat must still leave a parseable number
+            # (BENCH_r04.json was rc=124/parsed:null despite a completed
+            # repeat — VERDICT r4 #2)
+            _emit_full_study(runs, checks, len(ds), t_ingest, last_err,
+                             pending_repeats=max(args.repeats, 1) - rep - 1)
     if not runs:
         _emit({"metric": "full_study_seconds", "value": None,
                "unit": "s (features + comparison + control, 5 bands, one chip)",
                "vs_baseline": None,
                "error": repr(last_err) if last_err else "no completed runs"})
-        return
+
+
+def _emit_full_study(runs, checks, n_recordings, t_ingest, last_err,
+                     pending_repeats=0) -> None:
     best = min(runs, key=lambda r: r["total"])
     # the headline is the best warm repeat (the worker's throughput varies
     # ±50% run-to-run); the median of all repeats is reported alongside so
@@ -215,12 +225,14 @@ def full_study(args) -> None:
         "metric": "full_study_seconds",
         "value": best["total"],
         "unit": "s (features + comparison + control, 5 bands, one chip)",
-        "vs_baseline": round(60.0 / best["total"], 3),
+        "vs_baseline": (round(60.0 / best["total"], 3)
+                        if best["total"] else None),
         "ok": all(v for v in checks.values() if isinstance(v, bool)),
-        "detail": {"n_recordings": len(ds), **best,
+        "detail": {"n_recordings": n_recordings, **best,
                    "median_total_s": round(median, 1),
                    "device_ingest_s": round(t_ingest, 1),
                    "runs": runs, "checks": checks,
+                   "pending_repeats": pending_repeats,
                    "aborted_error": repr(last_err) if last_err else None},
     })
 

@@ -92,8 +92,8 @@ def window_tda_features(dm: jnp.ndarray, thresh: float = 2.0, na_max: int = 128,
     (reference scripts/tda_eeg_classification_v2.py:407-419).
 
     backend: "auto" resolves via h1_backend_auto at trace time — the
-    grouped-segmented Pallas kernel on TPU when enabled, the portable XLA
-    lockstep otherwise.
+    per-window Pallas kernel above the measured size crossover on TPU,
+    the portable XLA lockstep otherwise.
     """
     n = dm.shape[-1]
     out = h1_diagrams_routed(dm, n=n, thresh=thresh, na_max=na_max,
@@ -694,13 +694,13 @@ def comparison_from_bank(e_bank, gidx, n_e, audio, n_a, mis_h1, mis_n_win,
 
     The comparison's paired window selection (linspace over
     min(n_eeg, n_audio) windows — reference tda_eeg_audio_comparison.py:
-    72-80) is a SUBSET of the features stage's md5-sampled window set
-    whenever that sampling covers all of a recording's windows (always
-    under "min" window equalization with uniform recording lengths, the
-    study's regime).  The driver verifies the inclusion per recording on
-    host and builds `gidx` — flat (B·5·K,) int32 indices into the bank
-    rows — falling back to comparison_program for any batch where it
-    fails.  Skips the comparison stage's second EEG corr→dist→H1 pass.
+    72-80) need not be a subset of the features stage's md5 sample, so
+    the driver appends it to every bank row as K_CMP mask=False UNION
+    columns (computed but excluded from the feature aggregate —
+    models/study.py _paired_comp_indices) and builds `gidx` — flat
+    (B·5·K,) int32 indices into those columns — falling back to
+    comparison_program only for batches with a recording missing from
+    the bank.  Skips the comparison stage's second EEG corr→dist→H1 pass.
 
     e_bank: dict of flat (R, ·) device leaves (h1_b/h1_d/h1_m pad width
     128, h0_d/h0_m width n−1, feats (·, 2, 11)) from
@@ -889,39 +889,26 @@ def audio_takens_program(audio: jnp.ndarray, n_samples: jnp.ndarray,
 # (3 windows in 108k exceeded the previous cap of 80 and went through the
 # staged overflow redo).
 PALLAS_NA_MAX = 96
-# grouped-segmented kernel (n ≤ 64): group windows per grid step sharing one
-# segmented pivot reduce; arena = group·(na_max+4)·srows·128·4 B must stay
-# inside ~16 MB VMEM → na_max 64 at group 8 costs 9.4 MB (96 would be
-# 14.7 MB + packed buffers ≈ over budget).  EEG study windows measure
-# n_na ≤ 57; the rare exceedance overflow-flags and reroutes through the
-# exact redo paths as usual.
-#
 # Routing defaults live in ..tuning: measurement-written tuning.json with
-# env-var overrides, conservative (bitset, chains=1) when unmeasured — the
-# round's official bench must never ride an unmeasured kernel.  The A/B
-# battery (scratch/measure_r4.sh → scratch/write_tuning.py) flips them only
-# after the flipped full-study bench beats the default end-to-end.
-from ..tuning import (AUDIO_CHAINS, EEG_SMALL_KERNEL,  # noqa: F401
-                      GROUPED_NA_MAX, GROUPED_SIZE, PALLAS_MIN_N)
+# env-var overrides, conservative (bitset) when unmeasured — the round's
+# official bench must never ride an unmeasured kernel.  The A/B battery
+# (scratch/measure_r4.sh → scratch/write_tuning.py) flips them only after
+# the flipped full-study bench beats the default end-to-end.
+from ..tuning import PALLAS_MIN_N
 
 
 def h1_backend_auto(n: int) -> str:
     """Route per shape+platform: the per-window Pallas kernel wins 14x at
     the audio n=124 shape (0.41 vs 5.7 ms/window measured on v5e); below
     the measured crossover (tuning.PALLAS_MIN_N, set by the on-hardware
-    sweep scratch/bench_crossover.py) either the batched XLA lockstep or
-    the grouped-segmented Pallas kernel (one segmented pivot reduce
-    advancing 8 windows per step — see ops/homology_pallas.py) serves the
-    small-n EEG clouds, per the battery's end-to-end A/B.  Off-TPU both
-    fall back to the portable XLA kernel."""
+    sweep scratch/bench_crossover.py) the batched XLA lockstep serves the
+    small-n EEG clouds.  Off-TPU both fall back to the portable XLA
+    kernel."""
     import jax
 
     if jax.default_backend() != "tpu":
         return "bitset"
-    if n >= PALLAS_MIN_N:
-        return "pallas"
-    return EEG_SMALL_KERNEL if EEG_SMALL_KERNEL in ("grouped", "bitset") \
-        else "bitset"
+    return "pallas" if n >= PALLAS_MIN_N else "bitset"
 
 
 def h1_diagrams_routed(dm, n_pts=None, *, n: int, thresh: float,
@@ -931,17 +918,16 @@ def h1_diagrams_routed(dm, n_pts=None, *, n: int, thresh: float,
 
     Every caller (window_tda_features, audio_window_diagrams,
     homology_exec.run_tda) goes through here so the backend resolution,
-    the off-TPU fallback, the Mosaic arena clamps and the tuned knobs
-    (AUDIO_CHAINS, GROUPED_SIZE/GROUPED_NA_MAX) can never diverge
-    between pipeline stages.  The Mosaic kernels' step budget counts
+    the off-TPU fallback and the Mosaic arena clamp can never diverge
+    between pipeline stages.  The Mosaic kernel's step budget counts
     PER-WINDOW reduction steps (the lockstep's counts the chunk's
-    max-chain), so it is floored at their measured default (8192) —
-    the A/B battery benchmarks them at that budget, and a smaller
+    max-chain), so it is floored at its measured default (8192) —
+    the A/B battery benchmarks it at that budget, and a smaller
     production budget would overflow windows the A/B never saw.
     """
     if backend == "auto":
         backend = h1_backend_auto(n)
-    if backend in ("pallas", "grouped"):
+    if backend == "pallas":
         import jax
 
         if jax.default_backend() != "tpu":
@@ -956,14 +942,7 @@ def h1_diagrams_routed(dm, n_pts=None, *, n: int, thresh: float,
         return h1_diagrams_pallas(
             dm, n_pts, n=n, thresh=thresh,
             na_max=min(na_max, PALLAS_NA_MAX), h1_max=h1_max,
-            step_budget=max(step_budget, 8192), chains=AUDIO_CHAINS)
-    if backend == "grouped":
-        from ..ops.homology_pallas import h1_diagrams_pallas_grouped
-
-        return h1_diagrams_pallas_grouped(
-            dm, n_pts, n=n, thresh=thresh,
-            na_max=min(na_max, GROUPED_NA_MAX), h1_max=h1_max,
-            step_budget=max(step_budget, 8192), group=GROUPED_SIZE)
+            step_budget=max(step_budget, 8192))
     return h1_diagrams(dm, n_pts, n=n, thresh=thresh, na_max=na_max,
                        h1_max=h1_max, step_budget=step_budget)
 

@@ -58,11 +58,14 @@ def _bank_gather(x, slots):
     return g.reshape(g.shape[0] * g.shape[1], g.shape[2])
 
 
-# Padded-shape constants for the study (max recording ≈ 23 s @ 250 Hz)
-T_EEG_PAD = 5800
-T_AUDIO_PAD = 44100 * 24
-N_WIN_MAX = (T_EEG_PAD - 250) // 62 + 1  # 90
-N_RS_MAX = 5900
+# Padded-shape constants for the study (max recording ≈ 23 s @ 250 Hz).
+# Env-overridable for CPU end-to-end drives only (production pads fit the
+# reference corpus; smaller pads make the fused programs compile in
+# seconds on CPU for tiny datasets — tests/test_cli_mat_study.py)
+T_EEG_PAD = int(os.environ.get("TDA_TPU_T_EEG_PAD", 5800))
+T_AUDIO_PAD = int(os.environ.get("TDA_TPU_T_AUDIO_PAD", 44100 * 24))
+N_WIN_MAX = (T_EEG_PAD - 250) // 62 + 1  # 90 at the production pad
+N_RS_MAX = int(os.environ.get("TDA_TPU_N_RS_MAX", 5900))
 K_CMP = 15          # MAX_WINDOWS for comparisons
 K_H0_EEG = 64       # EEG H0 ≤ 46 finite bars
 K_H0_AUD = 128      # audio H0 ≤ 123
@@ -76,6 +79,18 @@ def _ref_linspace_idx(n_win: int, k: int) -> np.ndarray:
     if n_win > k:
         return np.linspace(0, n_win - 1, k).astype(np.int64)
     return np.arange(max(n_win, 0), dtype=np.int64)
+
+
+def _paired_window_idx(n_pair: int, k: int) -> np.ndarray:
+    """Host replication of the device's paired window selection
+    (audio_takens_program's f32 linspace over n_pair =
+    min(n_win_eeg, n_win_audio) windows — same arithmetic, same dtype, so
+    indices derived from it address exactly the windows the device pairs;
+    pinned by tests/test_eeg_bank.py test_host_pair_idx_matches_device)."""
+    if n_pair <= k:
+        return np.minimum(np.arange(k), max(n_pair - 1, 0))
+    return (np.arange(k, dtype=np.float32) * np.float32(n_pair - 1)
+            / np.float32(k - 1)).astype(np.int64)
 
 
 class StudyRunner:
@@ -370,8 +385,8 @@ class StudyRunner:
         pending = []    # fused: (packed_dev, idxs); staged: ((a, d, o), idxs)
         done = []
         # per-window diagram bank for the comparison stage (eeg_bank knob):
-        # device leaves per batch + host slot/selection maps
-        bank_batches, bank_slot, bank_use = [], {}, {}
+        # device leaves per batch + host slot map
+        bank_batches, bank_slot = [], {}
 
         def drain_all():
             """Read the whole stage back in ONE transfer (fused path) — the
@@ -382,18 +397,24 @@ class StudyRunner:
                 off = 0
                 for packed, idxs_ in pending:
                     n = packed.shape[0]
-                    agg, diag, ovf = programs.unpack_feature_outputs(
-                        flat[off:off + n], self.eeg_batch)
+                    outs_h = programs.unpack_feature_outputs(
+                        flat[off:off + n], self.eeg_batch,
+                        has_bank=with_bank)
                     off += n
+                    if with_bank:
+                        agg, diag, ovf, bovf = outs_h
+                        bovf = bovf[: len(idxs_)]
+                    else:
+                        (agg, diag, ovf), bovf = outs_h, None
                     done.append((agg[: len(idxs_)].copy(),
                                  diag[: len(idxs_)], ovf[: len(idxs_)],
-                                 idxs_))
+                                 bovf, idxs_))
             else:
                 for out, idxs_ in pending:
                     agg, diag, ovf = out
                     done.append((np.asarray(agg)[: len(idxs_)],
                                  np.asarray(diag)[: len(idxs_)],
-                                 np.asarray(ovf)[: len(idxs_)], idxs_))
+                                 np.asarray(ovf)[: len(idxs_)], None, idxs_))
             pending.clear()
 
         # union-bank mode: the comparison stage's paired windows ride the
@@ -433,25 +454,32 @@ class StudyRunner:
                 if B < self.eeg_batch:      # keep one compiled shape
                     padn = self.eeg_batch - B
                     use_idx = np.concatenate(
-                        [use_idx, np.zeros((padn, N_BANDS, K), np.int32)])
+                        [use_idx, np.zeros((padn, N_BANDS, Kx), np.int32)])
                     use_mask = np.concatenate(
-                        [use_mask, np.zeros((padn, N_BANDS, K), bool)])
+                        [use_mask, np.zeros((padn, N_BANDS, Kx), bool)])
                 outs = programs.eeg_feature_program(
                     self._put(eeg), self._put(ns_e),
                     self._put(use_idx), self._put(use_mask),
-                    cfg, N_WIN_MAX, K, chunk=self.tda_chunk,
+                    cfg, N_WIN_MAX, Kx, chunk=self.tda_chunk,
                     na_max=self.feature_na_max, return_dm0=True,
                     return_bank=self.use_eeg_bank)
                 if self.use_eeg_bank:
                     agg_dev, diag_dev, ovf_dev, bank_dev = outs
+                    # bank["ovf"] flags truncation on ANY column, including
+                    # the mask=False union columns — rides the packed
+                    # readback; flagged rows are dropped from the bank at
+                    # drain (no feature redo: `ovf` covers the used windows)
+                    bank_ovf_dev = bank_dev.pop("ovf")
                     for bi_, i in enumerate(idxs):
                         bank_slot[i] = len(bank_batches) * self.eeg_batch + bi_
-                        bank_use[i] = use_idx[bi_].copy()
                     bank_batches.append(bank_dev)
+                    packed = programs.pack_feature_outputs(
+                        agg_dev, diag_dev, ovf_dev, bank_ovf_dev)
                 else:
                     agg_dev, diag_dev, ovf_dev = outs
-                pending.append((programs.pack_feature_outputs(
-                    agg_dev, diag_dev, ovf_dev), idxs))
+                    packed = programs.pack_feature_outputs(
+                        agg_dev, diag_dev, ovf_dev)
+                pending.append((packed, idxs))
                 if len(pending) >= 4:     # bound in-flight device memory
                     pending[-4][0].block_until_ready()
             else:
@@ -479,12 +507,19 @@ class StudyRunner:
         drain_all()
         from ..utils.validation import issues_from_diagnostics
         file_metadata = []
-        for agg, diag, ovf, idxs in done:
+        for agg, diag, ovf, bovf, idxs in done:
             # overflow recordings (na_max/step budget exceeded in the fused
             # kernel — none observed at study sizes): recompute via the
             # staged path, whose run_tda reroutes flagged windows to the
             # exact host engine rather than keeping truncated diagrams
             for bi_, i in enumerate(idxs):
+                if bovf is not None and bovf[bi_]:
+                    # truncation on ANY column (possibly a mask=False union
+                    # column excluded from the feature `ovf`): the bank row
+                    # is unusable for the comparison stage — drop it; the
+                    # feature aggregate needs a redo only when `ovf` below
+                    # says a USED window overflowed
+                    bank_slot.pop(i, None)
                 if ovf[bi_] and i not in self._failed_idx:
                     if self.verbose:
                         print(f"  features: overflow → staged redo "
@@ -492,9 +527,6 @@ class StudyRunner:
                     tlog.LOGGER.event("feature_overflow_redo",
                                       file=self.ds.index[i][0])
                     agg[bi_] = self._staged_feature_agg([i], counts, K)[0]
-                    # the fused kernel truncated this recording's diagrams:
-                    # its bank rows are unusable for the comparison stage
-                    bank_slot.pop(i, None)
             for bi_, i in enumerate(idxs):
                 if i in self._failed_idx:   # failed on the batch re-load
                     continue
@@ -523,8 +555,7 @@ class StudyRunner:
                     n_windows_used_total=used * N_BANDS))
         if self.use_eeg_bank and bank_batches:
             self._eeg_bank = dict(batches=bank_batches, slot=bank_slot,
-                                  use=bank_use, K=K, counts=dict(counts),
-                                  flat=None)
+                                  K=Kx, K_base=K, flat=None)
         tlog.LOGGER.stage("features", time.time() - t0,
                      items=len(all_idx) * N_BANDS * K,
                      n_recordings=len(X_rows), K=K,
@@ -925,23 +956,35 @@ class StudyRunner:
             bk["batches"] = None      # free the un-flattened copies
         return bk["flat"]
 
+    def _paired_comp_indices(self, i: int, nw: int) -> np.ndarray:
+        """(N_BANDS, K_CMP) paired window indices for recording i — the
+        comparison stage's window selection, replicated on host at
+        features time so the bank's union columns compute exactly the
+        diagrams comparison_from_bank will gather (the device selection
+        is band-independent; _paired_window_idx pins the arithmetic)."""
+        from ..ops.signal import resample_n_out
+
+        win, step = self.cfg.win_samples, self.cfg.step_samples
+        n_rs = int(resample_n_out(self._audio_length(i),
+                                  self.cfg.fs_eeg, self.cfg.fs_audio))
+        n_pair = min(max((n_rs - win) // step + 1, 0), nw)
+        comp = _paired_window_idx(n_pair, K_CMP)
+        return np.broadcast_to(comp, (N_BANDS, K_CMP))
+
     def _bank_gather_idx(self, idxs, metas):
         """Flat bank indices serving a comparison batch, or None.
 
-        For each live recording, replicates on host the device's paired
-        window selection (audio_takens_program's f32 linspace over
-        n_pair = min(n_win_eeg, n_win_audio) — same arithmetic, same
-        dtype) and maps each selected window to its position in the
-        features stage's md5-sampled window list.  Returns None — caller
-        falls back to comparison_program — if any recording is missing
-        from the bank (overflowed, zero-window, or outside a features
-        shard) or any paired window is outside its md5 sample (possible
-        only when a recording has more windows than the equalized K)."""
-        from ..ops.signal import resample_n_out
-
+        The features stage appended each recording's paired comparison
+        windows as K_CMP mask=False union columns at K_base..K of every
+        bank row (computed by _paired_comp_indices — the same selection
+        the device comparison program makes), so the gather addresses
+        those columns directly.  Returns None — caller falls back to
+        comparison_program for the batch — only when a live recording is
+        missing from the bank (diagram overflow, zero windows, or outside
+        a features shard)."""
         bk = self._eeg_bank
-        K_feat = bk["K"]
-        win, step = self.cfg.win_samples, self.cfg.step_samples
+        Kx, K_base = bk["K"], bk["K_base"]
+        cols = K_base + np.arange(K_CMP, dtype=np.int64)
         gidx = np.zeros((self.eeg_batch, N_BANDS, K_CMP), np.int64)
         for bi_, meta in enumerate(metas[: len(idxs)]):
             i = idxs[bi_]
@@ -950,25 +993,8 @@ class StudyRunner:
             row = bk["slot"].get(i)
             if row is None:
                 return None
-            nw = bk["counts"][i]
-            n_rs = int(resample_n_out(self._audio_length(i),
-                                      self.cfg.fs_eeg, self.cfg.fs_audio))
-            n_pair = min(max((n_rs - win) // step + 1, 0), nw)
-            if n_pair <= K_CMP:
-                comp = np.minimum(np.arange(K_CMP), max(n_pair - 1, 0))
-            else:
-                comp = (np.arange(K_CMP, dtype=np.float32)
-                        * np.float32(n_pair - 1)
-                        / np.float32(K_CMP - 1)).astype(np.int64)
-            take = min(K_feat, nw)
             for bd in range(N_BANDS):
-                inv = np.full(nw, -1, np.int64)
-                inv[np.asarray(bk["use"][i][bd][:take], np.int64)] = \
-                    np.arange(take)
-                pos = inv[comp]
-                if (pos < 0).any():
-                    return None
-                gidx[bi_, bd] = (np.int64(row) * N_BANDS + bd) * K_feat + pos
+                gidx[bi_, bd] = (np.int64(row) * N_BANDS + bd) * Kx + cols
         return gidx.reshape(-1).astype(np.int32)
 
     def _fused_rows(self):

@@ -47,6 +47,17 @@ Negative results, for the record:
     G=4) — the unrolled chains' reduce latencies serialize rather than
     interleave — so small-n EEG windows stay on the XLA kernel and this
     module only serves the audio-sized clouds.
+  * two round-4 variants — a grouped-SEGMENTED small-n kernel (G windows
+    per step sharing one segmented pivot reduce) and a multi-chain
+    large-n kernel (C creator chains of one window advancing per step,
+    two-finisher gate) — were parity-correct under interpret mode but
+    never compiled on this deployment: the backend's remote compile
+    helper crashes (HTTP 500, tpu_compile_helper exit 1) on both,
+    deterministically across retries and backend restarts (r4 battery
+    steps 5-6, 7/7; re-confirmed r5 with backoff).  Deleted in r5 per
+    the two-strike rule rather than kept as unmeasurable dead weight —
+    see git history (round-4 tree) for the kernels and their
+    correctness notes.
   * a windowed variant (every per-step tile op restricted to the dynamic
     word-row window [pivot_row, ceil(m_cx/32)) — pivots are strictly
     increasing along a chain, keys bounded by m_cx — with bs=8-row blocks,
@@ -86,7 +97,7 @@ def _pack_block(ph, B, n, m, g_cap, rank_rows, na_eff, with_extra, na_max):
     prepared key tile rather than a table gather whose input depends on the
     pivot scalar — one fewer serial reduce→scalar→reduce round trip on
     EVERY reduction step.  The optional extras row carries [m_cx, n_na]
-    for kernels without scalar prefetch (the grouped variant).
+    for kernels without scalar prefetch (none currently in-tree).
 
     Returns (packed (B, r_tot, LANES) int32, r_tot)."""
     srows = g_cap // 32
@@ -342,22 +353,15 @@ def _reduce_kernel(mcx_ref, packed_ref, out_ref, col, stored,
 
 
 @partial(jax.jit, static_argnames=("n", "thresh", "na_max", "h1_max",
-                                   "step_budget", "g_cap", "interpret",
-                                   "chains"))
+                                   "step_budget", "g_cap", "interpret"))
 def h1_diagrams_pallas(dm: jnp.ndarray, n_pts: jnp.ndarray | None = None, *,
                        n: int, thresh: float, na_max: int = 96,
                        h1_max: int = 96, step_budget: int = 8192,
-                       g_cap: int | None = None, interpret: bool = False,
-                       chains: int = 1):
+                       g_cap: int | None = None, interpret: bool = False):
     """Drop-in sibling of `h1_diagrams` backed by the per-window Pallas
     kernel.  Same return contract (births/deaths/mask/n_essential/h0_*/
     overflow); windows with m_cx > g_cap or n_na > na_max raise `overflow`
     so the caller can reroute them (homology_exec already does).
-
-    chains=C (2, 4, ...) runs the multi-chain kernel (`_reduce_kernel_multi`):
-    C creator chains advance per step sharing the stored arena — same
-    diagrams, dependent steps toward 1/C (at most two chains finish per
-    step; see the kernel's correctness note).
     """
     if n > LANES:
         raise ValueError(f"n={n} > {LANES} unsupported by the Pallas backend")
@@ -383,15 +387,9 @@ def h1_diagrams_pallas(dm: jnp.ndarray, n_pts: jnp.ndarray | None = None, *,
                                 na_max=na_max)
     mcx = ph["m_cx"].astype(jnp.int32)                    # (B,) scalar prefetch
 
-    if chains >= 2:
-        kernel = functools.partial(_reduce_kernel_multi, g_cap=g_cap,
-                                   na_max=na_max, step_budget=step_budget,
-                                   chains=chains)
-        col_shape = (chains, srows, LANES)
-    else:
-        kernel = functools.partial(_reduce_kernel, g_cap=g_cap, na_max=na_max,
-                                   step_budget=step_budget)
-        col_shape = (srows, LANES)
+    kernel = functools.partial(_reduce_kernel, g_cap=g_cap, na_max=na_max,
+                               step_budget=step_budget)
+    col_shape = (srows, LANES)
     stored_shape = (na_max, srows, LANES)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
@@ -420,451 +418,4 @@ def h1_diagrams_pallas(dm: jnp.ndarray, n_pts: jnp.ndarray | None = None, *,
 
     return _extract_bars(out, ph, h1_max, g_cap)
 
-
-# ─────────────────────────────────────────────────────────────────────────────
-# Multi-chain kernel for LARGE clouds (n ≤ 128: the audio 124-point windows)
-# ─────────────────────────────────────────────────────────────────────────────
-# The per-window kernel is per-step LATENCY-bound (~300 dependent reduction
-# steps of ~1 µs at n=124); the window's creators are reduced strictly one
-# at a time.  Grouping WINDOWS per grid step is impossible at this size —
-# the stored-column arena (na_max × srows × LANES × 4 B ≈ 11.8 MB) already
-# fills VMEM.  But C creator chains of the SAME window can advance in one
-# step sharing that arena: per-step cost is one segmented pivot reduce for
-# all chains plus vectorized (C, srows, LANES) tile work, so total steps
-# drop toward 1/C.
-#
-# Correctness under concurrency: a chain's XOR operands are (a) apparent
-# columns — fixed, order-independent — and (b) stored columns of FINISHED
-# creators, all earlier in creator order, so the implied reduction matrix
-# stays triangular.  The one ordering hazard is FINISHING: a younger
-# chain's candidate final pivot might still be claimed by an older chain's
-# eventual pair.  Gate: the OLDEST active chain may always finish; the
-# SECOND-oldest may finish alongside it iff the oldest is finishing too and
-# their final pivots differ (then every chain older than the second has its
-# pair determined this very step, and it is distinct).  All younger
-# finishers stall (column unchanged) and re-check — when the older chains'
-# columns store, the younger's pivot lookup either matches one (XOR,
-# continue) or doesn't (it is now oldest/second, finish).  Finishes are
-# ~1 in 9 steps on study windows, so capping simultaneous finishes at two
-# costs ~p² stalls while keeping the pairing proof two-chain simple.  The
-# shared next-creator counter advances by ≤ 2 per step; the older finisher
-# takes the lower creator index.
-
-
-def _reduce_kernel_multi(mcx_ref, packed_ref, out_ref, col, stored,
-                         *, g_cap: int, na_max: int, step_budget: int,
-                         chains: int = 2):
-    """C concurrent creator chains of one window (grid = windows).
-
-    Same packed layout as `_reduce_kernel`; col is (C, srows, LANES)."""
-    srows = g_cap // 32
-    t_srows = g_cap // LANES
-    OFF_IUJU = LANES
-    OFF_NA = OFF_IUJU + t_srows
-    OFF_APPT = OFF_NA + 1
-    m_cx = mcx_ref[pl.program_id(0)]
-    one = jnp.int32(1)
-    C = chains
-
-    s3 = jax.lax.broadcasted_iota(jnp.int32, (C, srows, LANES), 1)
-    l3 = jax.lax.broadcasted_iota(jnp.int32, (C, srows, LANES), 2)
-    lane2 = jax.lax.broadcasted_iota(jnp.int32, (C, LANES), 1)
-    lane1 = jax.lax.broadcasted_iota(jnp.int32, (1, LANES), 1)
-    ts3 = jax.lax.broadcasted_iota(jnp.int32, (C, t_srows, LANES), 1)
-    tl3 = jax.lax.broadcasted_iota(jnp.int32, (C, t_srows, LANES), 2)
-
-    app3 = packed_ref[0, OFF_APPT:OFF_APPT + srows, :][None]   # (1, s, L)
-    iuju3 = packed_ref[0, OFF_IUJU:OFF_IUJU + t_srows, :][None]
-    na2 = jnp.broadcast_to(packed_ref[0, OFF_NA, :][None], (C, LANES))
-    n_na = jnp.minimum(
-        jnp.sum((packed_ref[0, OFF_NA, :][None] >= 0).astype(jnp.int32)),
-        na_max)
-
-    def na_sel(idx_v):
-        """(C, 1) creator indices → (C, 1) creator edge ranks."""
-        return jnp.sum(jnp.where(lane2 == idx_v, na2, 0), axis=1,
-                       keepdims=True)
-
-    def seg_min(t3):
-        return jnp.min(jnp.min(t3, axis=2), axis=1, keepdims=True)
-
-    def cobd2(g_v):
-        """(C, 1) edge ranks → (C, srows, LANES) coboundary tiles."""
-        g1 = g_v[:, :, None]
-        hit = (ts3 == g1 // LANES) & (tl3 == g1 % LANES)
-        ij_v = jnp.sum(jnp.sum(jnp.where(hit, iuju3, 0), axis=2), axis=1,
-                       keepdims=True)                          # (C, 1)
-        rows_i = jnp.concatenate(
-            [packed_ref[0, pl.ds(ij_v[c, 0] // LANES, 1), :]
-             for c in range(C)], axis=0)                       # (C, LANES)
-        rows_j = jnp.concatenate(
-            [packed_ref[0, pl.ds(ij_v[c, 0] % LANES, 1), :]
-             for c in range(C)], axis=0)
-        i_g1 = (ij_v // LANES)[:, :, None]
-        j_g1 = (ij_v % LANES)[:, :, None]
-        r_i = rows_i[:, None, :]
-        r_j = rows_j[:, None, :]
-        gmax = jnp.maximum(g1, jnp.maximum(r_i, r_j))
-        valid = gmax < m_cx
-        case_e = valid & (gmax == g1)
-        tile_e = jnp.where(case_e & (s3 == g1 // 32), one << (g1 % 32), 0)
-        case_i = valid & (gmax == r_i)
-        m_i = jnp.where(case_i & (s3 == r_i // 32), one << (r_i % 32), 0)
-        bits_i = jnp.sum(m_i, axis=2, keepdims=True)
-        case_j = valid & (gmax == r_j)
-        m_j = jnp.where(case_j & (s3 == r_j // 32), one << (r_j % 32), 0)
-        bits_j = jnp.sum(m_j, axis=2, keepdims=True)
-        return (tile_e
-                ^ jnp.where(l3 == j_g1, bits_i, 0)
-                ^ jnp.where(l3 == i_g1, bits_j, 0))
-
-    out_ref[0, 0, :] = jnp.full((LANES,), -1, jnp.int32)
-    out_ref[0, 1, :] = jnp.zeros((LANES,), jnp.int32)
-
-    chain_iota = jax.lax.broadcasted_iota(jnp.int32, (C, 1), 0)
-    cur0 = chain_iota                                          # chain c ← creator c
-    first = na_sel(cur0)
-    act0 = ((chain_iota < n_na) & (first >= 0)).astype(jnp.int32)
-    col[:] = jnp.where(act0[:, :, None] > 0,
-                       cobd2(jnp.maximum(first, 0)), 0)
-
-    def cond(carry):
-        cur_v, act_v, next_k, steps = carry
-        return (jnp.sum(act_v) > 0) & (steps < step_budget)
-
-    def body(carry):
-        cur_v, act_v, next_k, steps = carry
-        c = col[:]
-        nz3 = c != 0
-        low = c & (-c)
-        tz = jax.lax.population_count(low - one)
-        key_t = jnp.where(nz3, (s3 * 32 + tz) * LANES + l3, BIG)
-        key_v = seg_min(key_t)                                 # (C, 1)
-        app_v = seg_min(jnp.where((low & app3) != 0, key_t, BIG))
-        nz_v = key_v < BIG
-        own_app = nz_v & (app_v == key_v)
-        prior1 = out_ref[0, 0, :][None]                        # (1, LANES)
-        match = (prior1 == key_v) & nz_v                       # (C, LANES)
-        slot_raw = jnp.min(jnp.where(match, lane2, na_max), axis=1,
-                           keepdims=True)
-        own_na = (slot_raw < na_max) & ~own_app
-        slot_v = jnp.minimum(slot_raw, na_max - 1)
-        act_b = act_v > 0
-        claimed = (own_app | own_na) & act_b
-        fin = act_b & ~claimed
-        # the oldest active chain may always finish; the SECOND-oldest may
-        # finish ALONGSIDE it iff the oldest is finishing too and their
-        # final pivots differ (the only claims that could still reach the
-        # second's pivot are older chains' pairs — all determined this very
-        # step and distinct; equal pivots fall back to an own_na XOR next
-        # step).  Younger finishers stall one step.  Without the two-wide
-        # window, finishes serialize at one per step and short chains cap
-        # the speedup.
-        cur_eff = jnp.where(act_b, cur_v, BIG)
-        oldest = cur_eff == jnp.min(cur_eff)
-        second = ~oldest & (cur_eff == jnp.min(
-            jnp.where(oldest, BIG, cur_eff)))
-        allowed_old = fin & oldest
-        old_any = jnp.sum(allowed_old.astype(jnp.int32)) > 0
-        keyc_v = jnp.where(nz_v, key_v, -1)
-        key_old = jnp.sum(jnp.where(allowed_old, keyc_v, 0))
-        allowed = allowed_old | (fin & second & old_any
-                                 & (keyc_v != key_old))
-
-        # creator assignment rank: the older finisher takes next_k, a
-        # simultaneous younger finisher takes next_k + 1
-        rank = jnp.where(allowed & ~oldest,
-                         jnp.sum((allowed & oldest).astype(jnp.int32)), 0)
-        nxt_full = jnp.broadcast_to(next_k[None, None], (C, 1)) + rank
-        nxt_edge = na_sel(jnp.minimum(nxt_full, na_max - 1))
-        still = allowed & (nxt_full < n_na) & (nxt_edge >= 0)
-
-        g_v = jnp.maximum(key_v, 0) // LANES
-        cob_g = jnp.where(own_app, g_v, jnp.maximum(nxt_edge, 0))
-        cob = cobd2(cob_g)
-        stc = jnp.concatenate(
-            [stored[pl.ds(slot_v[ci, 0], 1)] for ci in range(C)], axis=0)
-        operand = jnp.where(own_app[:, :, None], cob, stc)
-
-        # pair record + column persist for the (≤1) finishing chain — BEFORE
-        # col is overwritten
-        allowed_i = (allowed).astype(jnp.int32)
-        rec_i = (allowed & nz_v).astype(jnp.int32)
-        for ci in range(C):
-            @pl.when(allowed_i[ci, 0] > 0)
-            def _(ci=ci):
-                out_ref[0, 0, :] = jnp.where(
-                    lane1 == cur_v[ci, 0],
-                    jnp.where(rec_i[ci, 0] > 0, key_v[ci, 0], ESSENTIAL),
-                    out_ref[0, 0, :][None])[0]
-
-                @pl.when(rec_i[ci, 0] > 0)
-                def _():
-                    stored[pl.ds(jnp.minimum(cur_v[ci, 0], na_max - 1), 1)] \
-                        = c[ci][None]
-
-        col[:] = jnp.where(claimed[:, :, None], c ^ operand,
-                           jnp.where(still[:, :, None], cob, c))
-        cur_new = jnp.where(allowed, nxt_full, cur_v)
-        act_new = jnp.where(allowed, still, act_b).astype(jnp.int32)
-        nk_new = next_k + jnp.sum(still.astype(jnp.int32))
-        return cur_new, act_new, nk_new, steps + 1
-
-    _, act_f, _, steps = jax.lax.while_loop(
-        cond, body, (cur0, act0, jnp.minimum(jnp.int32(C), n_na),
-                     jnp.int32(0)))
-    out_ref[0, 1, :] = jnp.where(
-        lane1 == 0, steps,
-        jnp.where(lane1 == 1, jnp.sum(act_f), 0))[0]
-
-
-# ─────────────────────────────────────────────────────────────────────────────
-# Grouped-segmented kernel for SMALL clouds (n ≤ 64: the EEG 47-point windows)
-# ─────────────────────────────────────────────────────────────────────────────
-# The per-window kernel above loses to the batched XLA lockstep at n = 47
-# (0.34 vs 0.19 ms/window): a 47-point window's reduction chain is ~220 steps
-# of ~1 µs step latency, and one window per grid step leaves the VPU idle.
-# The XLA lockstep amortizes across windows but pays (a) max-chain divergence
-# over 256-window chunks (1.5-2.5× waste) and (b) O(chunk) HBM traffic for
-# the stored-column arena every step.
-#
-# This kernel processes GROUP windows per grid step with every per-step
-# reduce SEGMENTED across the group: ONE min-reduce yields all GROUP pivots,
-# one masked reduce yields all iuju lookups, the coboundary tiles build as
-# (GROUP, srows, LANES) vector ops.  The round-3 negative result ("grouped
-# variant slower — unrolled chains' reduce latencies serialize",
-# homology_pallas.py header) unrolled per-window reduces back-to-back; here
-# the serial latency per step is ~one window's, but the step advances GROUP
-# windows.  Divergence is bounded by max-chain over GROUP=8 windows (≈1.1×
-# at study shapes) instead of 256.  Everything stays in VMEM: at n = 47,
-# na_max = 64, GROUP = 8 the arenas total ~10 MB.
-#
-# Only the row loads (2 per window) and the stored-column gathers/saves stay
-# per-window — scalar-addressed VMEM ops off the shared reduce chain.
-
-
-def _reduce_kernel_grouped(packed_ref, out_ref, col, stored,
-                           *, g_cap: int, na_max: int, step_budget: int,
-                           group: int, n_pad: int):
-    """GROUP windows' cohomology reductions per grid step (grid = B/GROUP).
-
-    packed_ref: (GROUP, R_TOT, LANES) int32 — per window:
-        [rank(n_pad) | iuju(t_srows) | na(1) | extras(1) | app_tile(srows)]
-        extras row: lane 0 = m_cx, lane 1 = n_na.
-    out_ref: (GROUP, 8, LANES) int32 — row 0 = pair keys, row 1 = [steps,
-        budget-overflow].
-    col:    (GROUP, srows, LANES) int32 scratch — working columns.
-    stored: (GROUP·na_max, srows, LANES) int32 scratch — finished columns,
-        window w's slot s at row w·na_max + s.
-    """
-    srows = g_cap // 32
-    t_srows = g_cap // LANES
-    OFF_IUJU = n_pad
-    OFF_NA = OFF_IUJU + t_srows
-    OFF_EXTRA = OFF_NA + 1
-    OFF_APPT = OFF_EXTRA + 1
-    one = jnp.int32(1)
-
-    g3 = (group, srows, LANES)
-    s_iota3 = jax.lax.broadcasted_iota(jnp.int32, g3, 1)
-    l_iota3 = jax.lax.broadcasted_iota(jnp.int32, g3, 2)
-    lane2 = jax.lax.broadcasted_iota(jnp.int32, (group, LANES), 1)
-    ts3 = jax.lax.broadcasted_iota(jnp.int32, (group, t_srows, LANES), 1)
-    tl3 = jax.lax.broadcasted_iota(jnp.int32, (group, t_srows, LANES), 2)
-
-    app3 = packed_ref[0:group, OFF_APPT:OFF_APPT + srows, :]
-    iuju3 = packed_ref[0:group, OFF_IUJU:OFF_IUJU + t_srows, :]
-    na2 = packed_ref[0:group, OFF_NA, :]                      # (GROUP, LANES)
-    extra2 = packed_ref[0:group, OFF_EXTRA, :]
-
-    def lane_pick(row2, k):
-        """(GROUP, LANES) → (GROUP, 1) column = row2[:, k] via masked sum."""
-        return jnp.sum(jnp.where(lane2 == k, row2, 0), axis=1, keepdims=True)
-
-    mcx_v = lane_pick(extra2, 0)                              # (GROUP, 1)
-    n_na_v = jnp.minimum(lane_pick(extra2, 1), na_max)
-
-    def na_sel(idx_v):
-        """per-window na_list[idx] — one masked reduce for the group."""
-        return jnp.sum(jnp.where(lane2 == idx_v, na2, 0), axis=1,
-                       keepdims=True)
-
-    def seg_min(t3):
-        """(GROUP, srows, LANES) → (GROUP, 1) per-window min."""
-        return jnp.min(jnp.min(t3, axis=2), axis=1, keepdims=True)
-
-    def cobd3(g_v):
-        """(GROUP, 1) edge ranks → (GROUP, srows, LANES) coboundary tiles.
-
-        iuju lookup is ONE segmented masked reduce; the two rank-row loads
-        per window are independent scalar-addressed VMEM reads; everything
-        downstream is group-vectorized tile arithmetic."""
-        g1 = g_v[:, :, None]                                  # (GROUP, 1, 1)
-        hit = (ts3 == g1 // LANES) & (tl3 == g1 % LANES)
-        ij_v = jnp.sum(jnp.sum(jnp.where(hit, iuju3, 0), axis=2), axis=1,
-                       keepdims=True)                          # (GROUP, 1)
-        rows_i = jnp.concatenate(
-            [packed_ref[w, pl.ds(ij_v[w, 0] // LANES, 1), :]
-             for w in range(group)], axis=0)                   # (GROUP, LANES)
-        rows_j = jnp.concatenate(
-            [packed_ref[w, pl.ds(ij_v[w, 0] % LANES, 1), :]
-             for w in range(group)], axis=0)
-        i_g1 = (ij_v // LANES)[:, :, None]
-        j_g1 = (ij_v % LANES)[:, :, None]
-        r_i = rows_i[:, None, :]                               # (GROUP, 1, L)
-        r_j = rows_j[:, None, :]
-        gmax = jnp.maximum(g1, jnp.maximum(r_i, r_j))
-        valid = gmax < mcx_v[:, :, None]
-        case_e = valid & (gmax == g1)
-        tile_e = jnp.where(case_e & (s_iota3 == g1 // 32),
-                           one << (g1 % 32), 0)
-        case_i = valid & (gmax == r_i)
-        m_i = jnp.where(case_i & (s_iota3 == r_i // 32),
-                        one << (r_i % 32), 0)
-        bits_i = jnp.sum(m_i, axis=2, keepdims=True)           # distinct bits
-        case_j = valid & (gmax == r_j)
-        m_j = jnp.where(case_j & (s_iota3 == r_j // 32),
-                        one << (r_j % 32), 0)
-        bits_j = jnp.sum(m_j, axis=2, keepdims=True)
-        return (tile_e
-                ^ jnp.where(l_iota3 == j_g1, bits_i, 0)
-                ^ jnp.where(l_iota3 == i_g1, bits_j, 0))
-
-    out_ref[0:group, 0, :] = jnp.full((group, LANES), -1, jnp.int32)
-    out_ref[0:group, 1, :] = jnp.zeros((group, LANES), jnp.int32)
-
-    first_v = na_sel(jnp.zeros((group, 1), jnp.int32))
-    act0 = (first_v >= 0).astype(jnp.int32)
-    col[:] = jnp.where(act0[:, :, None] > 0,
-                       cobd3(jnp.maximum(first_v, 0)), 0)
-
-    def cond(carry):
-        cur_v, act_v, steps = carry
-        return (jnp.sum(act_v) > 0) & (steps < step_budget)
-
-    def body(carry):
-        cur_v, act_v, steps = carry
-        c = col[:]
-        nz3 = c != 0
-        low = c & (-c)
-        tz = jax.lax.population_count(low - one)
-        key_t = jnp.where(nz3, (s_iota3 * 32 + tz) * LANES + l_iota3, BIG)
-        key_v = seg_min(key_t)                                 # (GROUP, 1)
-        app_v = seg_min(jnp.where((low & app3) != 0, key_t, BIG))
-        nz_v = key_v < BIG
-        keyc_v = jnp.where(nz_v, key_v, -1)
-        own_app = nz_v & (app_v == key_v)
-        prior = out_ref[0:group, 0, :]                         # (GROUP, L)
-        match = (prior == key_v) & nz_v
-        slot_raw = jnp.min(jnp.where(match, lane2, na_max), axis=1,
-                           keepdims=True)
-        own_na = (slot_raw < na_max) & ~own_app
-        slot_v = jnp.minimum(slot_raw, na_max - 1)
-        act_b = act_v > 0
-        claimed = (own_app | own_na) & act_b
-        finish = act_b & ~claimed
-
-        nxt_cur = jnp.where(finish, cur_v + 1, cur_v)
-        nxt_edge = na_sel(jnp.minimum(nxt_cur, na_max - 1))
-        still = finish & (nxt_cur < n_na_v) & (nxt_edge >= 0)
-
-        g_v = jnp.maximum(keyc_v, 0) // LANES
-        cob_g = jnp.where(own_app, g_v, jnp.maximum(nxt_edge, 0))
-        cob = cobd3(cob_g)
-        stc = jnp.concatenate(
-            [stored[pl.ds(w * na_max + slot_v[w, 0], 1)]
-             for w in range(group)], axis=0)                   # (GROUP, s, L)
-        operand = jnp.where(own_app[:, :, None], cob, stc)
-
-        # finish bookkeeping BEFORE col is overwritten: record the pair and
-        # persist the finished column for later chains to XOR against
-        sel_cur = lane2 == cur_v
-        # int32, not bool: Mosaic rejects bool scalar squeezes
-        fin_rec = (finish & nz_v).astype(jnp.int32)
-        out_ref[0:group, 0, :] = jnp.where(
-            sel_cur & finish, jnp.where(nz_v, key_v, ESSENTIAL), prior)
-        for w in range(group):
-            @pl.when(fin_rec[w, 0] > 0)
-            def _(w=w):
-                stored[pl.ds(w * na_max
-                             + jnp.minimum(cur_v[w, 0], na_max - 1), 1)] = \
-                    c[w][None]
-
-        col[:] = jnp.where(claimed[:, :, None], c ^ operand,
-                           jnp.where(still[:, :, None], cob, c))
-        new_act = jnp.where(finish, still, act_b).astype(jnp.int32)
-        return nxt_cur, new_act, steps + 1
-
-    cur_f, act_f, steps = jax.lax.while_loop(
-        cond, body,
-        (jnp.zeros((group, 1), jnp.int32), act0, jnp.int32(0)))
-    l1 = lane2 == 1
-    out_ref[0:group, 1, :] = jnp.where(
-        lane2 == 0, jnp.broadcast_to(steps[None, None], (group, LANES)),
-        jnp.where(l1, jnp.broadcast_to(act_f, (group, LANES)), 0))
-
-
-@partial(jax.jit, static_argnames=("n", "thresh", "na_max", "h1_max",
-                                   "step_budget", "group", "interpret"))
-def h1_diagrams_pallas_grouped(dm: jnp.ndarray, n_pts: jnp.ndarray | None = None,
-                               *, n: int, thresh: float, na_max: int = 64,
-                               h1_max: int = 96, step_budget: int = 8192,
-                               group: int = 8, interpret: bool = False):
-    """Grouped-segmented sibling of `h1_diagrams_pallas` for n ≤ 64.
-
-    Same return contract; the batch is padded to a multiple of `group` with
-    empty complexes.  na_max defaults to 64 (observed EEG n_na max 57 on
-    study windows; overflow still flags and callers reroute)."""
-    N_PAD = 64
-    if n > N_PAD:
-        raise ValueError(f"n={n} > {N_PAD}: use h1_diagrams_pallas")
-    if na_max > LANES:
-        raise ValueError(f"na_max={na_max} > {LANES}")
-    B0 = dm.shape[0]
-    Bp = -(-B0 // group) * group
-    if Bp != B0:
-        far = (1.0 - jnp.eye(n)) * (thresh + 1.0)
-        dm = jnp.concatenate(
-            [dm, jnp.broadcast_to(far, (Bp - B0, n, n)).astype(dm.dtype)])
-        if n_pts is not None:
-            n_pts = jnp.concatenate(
-                [n_pts, jnp.full((Bp - B0,), n, n_pts.dtype)])
-    B = Bp
-    m = n * (n - 1) // 2
-    g_cap = -(-m // LANES) * LANES
-    srows = g_cap // 32
-    ph = _phase1(dm, n, thresh, na_max, n_pts)
-    na_eff = ph["na_list"].shape[1]
-    # m_cx and n_na ride the packed block's extras row (no scalar prefetch
-    # in the plain-grid grouped kernel)
-    packed, r_tot = _pack_block(ph, B, n, m, g_cap, rank_rows=N_PAD,
-                                na_eff=na_eff, with_extra=True,
-                                na_max=na_max)
-
-    kernel = functools.partial(_reduce_kernel_grouped, g_cap=g_cap,
-                               na_max=na_max, step_budget=step_budget,
-                               group=group, n_pad=N_PAD)
-    out = pl.pallas_call(
-        kernel,
-        grid=(B // group,),
-        in_specs=[pl.BlockSpec((group, r_tot, LANES), lambda b: (b, 0, 0),
-                               memory_space=pltpu.VMEM)],
-        out_specs=pl.BlockSpec((group, 8, LANES), lambda b: (b, 0, 0),
-                               memory_space=pltpu.VMEM),
-        scratch_shapes=[
-            pltpu.VMEM((group, srows, LANES), jnp.int32),
-            pltpu.VMEM((group * na_max, srows, LANES), jnp.int32),
-        ],
-        out_shape=jax.ShapeDtypeStruct((B, 8, LANES), jnp.int32),
-        compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=int(group * (na_max + 4) * srows * LANES * 4
-                                 + 4 * group * r_tot * LANES * 4)),
-        interpret=interpret,
-    )(packed)
-
-    res = _extract_bars(out, ph, h1_max, g_cap)
-    if Bp != B0:
-        res = {k: v[:B0] if hasattr(v, "shape") and v.ndim and
-               v.shape[0] == Bp else v for k, v in res.items()}
-    return res
 

@@ -246,44 +246,58 @@ def resample_poly_device(x: jnp.ndarray, n_in: jnp.ndarray, n_out_max: int,
     x: (B, T_pad) zero-padded inputs, n_in: (B,) true lengths.
     Returns (y (B, n_out_max), n_out (B,)).
 
-    scipy computes y[m] = sum_t h'[t] · u[m·down − t] where u is the
-    up-sampled input and h' is h zero-padded front by `offset` so outputs are
-    group-delay centered.  Split by output phase r = (m·down) mod up into `up`
-    strided dot products → batched matmuls on the MXU.  (An FFT formulation
-    would be cleaner, but this TPU backend leaves 10^6-point 1-D FFTs
-    unimplemented; the windowed gather + einsum stays.)
-    """
-    half = (len(h) - 1) // 2
-    n_taps_phase = int(np.ceil(len(h) / up)) + 1
-    # phase-split filters: h_r[j] covers upsampled lag (j*up + r_shift)
-    # y[m] = Σ_t h[t] u[m·down + half − t]; u[j] = x[j/up] when j%up==0.
-    # Let j = m·down + half − t = up·k → t = m·down + half − up·k.
-    # For each m: r_m = (m·down + half) mod up; k ranges over valid ints.
-    B, T_pad = x.shape
-    ms = np.arange(n_out_max)
-    t0 = ms * down + half  # absolute upsampled center index per output
-    k_hi = t0 // up  # largest k with up·k <= t0
-    taps_idx = np.arange(n_taps_phase)
-    # input index per (m, tap): k_hi[m] − taps_idx
-    in_idx = k_hi[:, None] - taps_idx[None, :]
-    # filter tap per (m, tap): t = t0 − up·k
-    h_idx = t0[:, None] - up * in_idx
-    h_pad = np.concatenate([h, np.zeros(up * (n_taps_phase + 2))])
-    h_mat = h_pad[np.clip(h_idx, 0, len(h_pad) - 1)]
-    h_mat[(h_idx < 0) | (h_idx >= len(h))] = 0.0
-    # taps outside [0, T_pad) must read scipy's zero extension, not a clamped
-    # sample — n_in == T_pad (buffer exactly full) otherwise corrupts the tail
-    valid_in = (in_idx >= 0) & (in_idx < T_pad)
-    in_idx_c = np.clip(in_idx, 0, T_pad - 1)
-    h_mat = jnp.asarray(h_mat * valid_in, dtype=x.dtype)  # (n_out_max, n_taps_phase)
-    in_idx_j = jnp.asarray(in_idx_c)
+    scipy computes y[m] = Σ_t h[t] · u[m·down + half − t] where u is the
+    up-sampled input (u[up·k] = x[k]) and half centers the group delay.
+    Writing m = up·j + p and k = down·j − c gives the needed filter index
+    t = p·down + half + up·c — a function of (p, c) ONLY.  The resample is
+    therefore block-Toeplitz: with the input cut into blocks of `down`
+    samples (k = down·(j+e) + f), every output block j is
 
-    gathered = x[:, in_idx_j]  # (B, n_out_max, n_taps_phase)
-    y = jnp.einsum("bmt,mt->bm", gathered, h_mat,
-                   preferred_element_type=jnp.float32)
+        y[up·j + p] = Σ_e Σ_f W[p, e, f] · x_blocks[j + e, f],
+
+    a dense (up × K_e·down) weight acting on K_e statically-shifted views
+    of the reshaped input — reshape + K_e slices + one MXU matmul, NO
+    gather.  The previous formulation gathered a (B, n_out_max,
+    len(h)/up) tap window per output sample; TPU lowers that gather at
+    ~4 GB/s, and it measured 0.20 s/batch — ~95% of the whole audio
+    Takens program (round-5 attribution).  This form measures ~100×
+    faster at identical outputs (tests/test_signal_ops.py pins scipy
+    parity; 44.1 kHz → 250 Hz: up=5, down=882, K_e=5, contraction 882).
+    """
+    L_h = len(h)
+    half = (L_h - 1) // 2
+    B, T_pad = x.shape
+    # block offsets e with any live tap: down·e + f ∈ [−half/up,
+    # ((up−1)·down + half)/up] over f ∈ [0, down)
+    e_min = int(np.floor(-(half / up) / down))
+    e_max = int(np.floor(((up - 1) * down + half) / up / down))
+    es = np.arange(e_min, e_max + 1)
+    K_e = len(es)
+    # W[p, e, f] = h[p·down + half − up·(down·e + f)], 0 outside [0, L_h)
+    p_i, e_i, f_i = np.meshgrid(np.arange(up), es, np.arange(down),
+                                indexing="ij")
+    t_i = p_i * down + half - up * (down * e_i + f_i)
+    W = np.where((t_i >= 0) & (t_i < L_h),
+                 np.asarray(h)[np.clip(t_i, 0, L_h - 1)], 0.0)
+    W = jnp.asarray(W, dtype=x.dtype)                     # (up, K_e, down)
+
+    n_j = -(-n_out_max // up)                             # output blocks
+    n_b = -(-T_pad // down)                               # input blocks
+    xb = jnp.pad(x, ((0, 0), (0, n_b * down - T_pad))).reshape(B, n_b, down)
+    # every block view xb[:, j+e] for j ∈ [0, n_j): one padded buffer,
+    # K_e static slices (zero beyond [0, n_b) — scipy's zero extension,
+    # callers zero-pad beyond n_in)
+    pad_lo = max(-e_min, 0)
+    pad_hi = max(n_j + e_max - n_b, 0)
+    xbp = jnp.pad(xb, ((0, 0), (pad_lo, pad_hi), (0, 0)))
+    y = jnp.zeros((B, n_j, up), dtype=jnp.float32)
+    for k, e in enumerate(es):
+        xs = jax.lax.dynamic_slice_in_dim(xbp, pad_lo + e, n_j, axis=1)
+        y = y + jnp.einsum("bjf,pf->bjp", xs, W[:, k],
+                           preferred_element_type=jnp.float32)
+    y = y.reshape(B, n_j * up)[:, :n_out_max].astype(x.dtype)
     n_out = (n_in * up + down - 1) // down
-    # zero out samples beyond each recording's true output length and samples
-    # that depended on padding beyond n_in
+    # zero out samples beyond each recording's true output length
     m_ids = jnp.arange(n_out_max)[None, :]
     y = jnp.where(m_ids < n_out[:, None], y, 0.0)
     return y, n_out

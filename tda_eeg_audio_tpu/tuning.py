@@ -25,15 +25,10 @@ import os
 from pathlib import Path
 
 _DEFAULTS = dict(
-    # per-window H1 backend for small (n <= 64) EEG clouds on TPU:
-    # "bitset" (batched XLA lockstep) or "grouped" (segmented Pallas)
-    eeg_small_kernel="bitset",
-    # grouped-segmented kernel shape (windows per grid step, stored-arena
-    # width); only consulted when eeg_small_kernel == "grouped"
-    grouped_size=8,
-    grouped_na_max=64,
-    # concurrent creator chains in the per-window audio H1 kernel
-    audio_chains=1,
+    # (the round-4 eeg_small_kernel/grouped_*/audio_chains knobs are gone:
+    # the kernels they routed never compiled on this deployment — the
+    # remote compile helper crashes deterministically on them — and were
+    # deleted in round 5; unknown keys in tuning.json are ignored)
     # smallest cloud size routed to the per-window Pallas kernel by
     # h1_backend_auto (smaller clouds ride the small-n kernel).  65 =
     # the pre-battery assumption measured only at the study's two shapes
@@ -78,10 +73,6 @@ def _load() -> dict:
         # the defaults (a partial battery write must not ship half a
         # configuration)
         return dict(
-            eeg_small_kernel=str(merged["eeg_small_kernel"]),
-            grouped_size=int(merged["grouped_size"]),
-            grouped_na_max=int(merged["grouped_na_max"]),
-            audio_chains=int(merged["audio_chains"]),
             pallas_min_n=int(merged["pallas_min_n"]),
             eeg_bank=bool(merged["eeg_bank"]),
             eeg_batch=int(merged["eeg_batch"]),
@@ -94,14 +85,6 @@ def _load() -> dict:
 
 _DATA = _load()
 
-EEG_SMALL_KERNEL = os.environ.get("TDA_TPU_EEG_KERNEL",
-                                  _DATA["eeg_small_kernel"])
-GROUPED_SIZE = int(os.environ.get("TDA_TPU_GROUPED_SIZE",
-                                  _DATA["grouped_size"]))
-GROUPED_NA_MAX = int(os.environ.get("TDA_TPU_GROUPED_NA_MAX",
-                                    _DATA["grouped_na_max"]))
-AUDIO_CHAINS = int(os.environ.get("TDA_TPU_AUDIO_CHAINS",
-                                  _DATA["audio_chains"]))
 PALLAS_MIN_N = int(os.environ.get("TDA_TPU_PALLAS_MIN_N",
                                   _DATA["pallas_min_n"]))
 EEG_BANK = (os.environ["TDA_TPU_EEG_BANK"] not in ("", "0", "false")

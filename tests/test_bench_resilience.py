@@ -36,6 +36,62 @@ def test_total_backend_failure_still_prints_json(monkeypatch):
     assert "simulated" in d["error"]
 
 
+def test_emits_full_json_line_after_every_repeat(monkeypatch):
+    """The driver runs the bench under a hard timeout (BENCH_r04 was
+    rc=124/parsed:null despite a verified completed repeat): a full,
+    parseable result line must appear after EVERY completed repeat so a
+    SIGKILL mid-repeat still leaves the best-so-far number on stdout
+    (last line wins)."""
+    import numpy as np
+
+    from tda_eeg_audio_tpu.io import device_store
+    from tda_eeg_audio_tpu.models import study
+
+    class _DS:
+        eeg = np.zeros(1)
+        audio = np.zeros(1)
+
+        def __len__(self):
+            return 8
+
+    class _Runner:
+        calls = 0
+
+        def __init__(self, *a, **k):
+            pass
+
+        def compute_feature_dataset(self):
+            return (np.zeros((8, 220)), np.zeros(8), np.zeros(8), [], {})
+
+        def run_comparison(self, n_permutations):
+            _Runner.calls += 1
+            if _Runner.calls >= 3:      # repeat 3 dies mid-flight
+                raise RuntimeError("simulated mid-repeat tunnel drop")
+            return {"detailed_rows": [{}] * 40}
+
+        def run_control(self):
+            return {}
+
+    monkeypatch.setattr(bench, "_wait_for_backend", lambda **kw: [object()])
+    monkeypatch.setattr(device_store, "build_synthetic_device",
+                        lambda **kw: _DS())
+    monkeypatch.setattr(study, "StudyRunner", _Runner)
+
+    args = _Args()
+    args.repeats = 3
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        bench.full_study(args)
+    lines = [l for l in buf.getvalue().splitlines() if l.strip()]
+    assert len(lines) == 2              # one line per COMPLETED repeat
+    for n_done, line in enumerate(lines, start=1):
+        d = json.loads(line)
+        assert d["metric"] == "full_study_seconds"
+        assert d["value"] is not None
+        assert len(d["detail"]["runs"]) == n_done
+    assert json.loads(lines[-1])["detail"]["pending_repeats"] == 1
+
+
 def test_wait_for_backend_retries_transient_probe_failures(monkeypatch):
     """A failing subprocess probe is retried with backoff; once it
     succeeds the in-process devices() result is returned."""

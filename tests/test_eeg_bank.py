@@ -26,21 +26,13 @@ slow = pytest.mark.skipif(os.environ.get("RUN_SLOW") != "1",
                           reason="set RUN_SLOW=1 (long CPU compile)")
 
 
-def _host_pair_idx(n_pair: int, K: int) -> np.ndarray:
-    """Host replication of audio_takens_program's paired selection
-    (models/study.py _bank_gather_idx): same f32 arithmetic, same
-    truncation, so the bank gather addresses the device's windows."""
-    if n_pair <= K:
-        return np.minimum(np.arange(K), max(n_pair - 1, 0))
-    return (np.arange(K, dtype=np.float32) * np.float32(n_pair - 1)
-            / np.float32(K - 1)).astype(np.int64)
-
-
 def test_host_pair_idx_matches_device():
-    """The host formula must reproduce the device linspace EXACTLY for
-    every plausible window count (a one-off rounding difference would
-    silently pair the wrong window)."""
+    """The host formula (study._paired_window_idx — the arithmetic the
+    driver bakes into the bank's union columns) must reproduce the device
+    linspace EXACTLY for every plausible window count (a one-off rounding
+    difference would silently pair the wrong window)."""
     from tda_eeg_audio_tpu.models.programs import audio_takens_program
+    from tda_eeg_audio_tpu.models.study import _paired_window_idx
 
     cfg = DEFAULT_CONFIG
     fs_a, fs_e = cfg.fs_audio, cfg.fs_eeg
@@ -60,16 +52,51 @@ def test_host_pair_idx_matches_device():
     use_idx = np.array(aud["use_idx"])
     np.testing.assert_array_equal(n_win, counts)
     for i, c in enumerate(counts):
-        np.testing.assert_array_equal(use_idx[i], _host_pair_idx(int(c), K),
+        np.testing.assert_array_equal(use_idx[i],
+                                      _paired_window_idx(int(c), K),
                                       err_msg=f"n_pair={c}")
+
+
+def _union_bank(case, na_max=128):
+    """Build the UNION bank the driver builds (models/study.py
+    compute_feature_dataset with_bank): md5-sampled feature columns under
+    "min" equalization plus K_CMP paired union columns (mask=False), and
+    the flat gather indices addressing the union columns."""
+    from tda_eeg_audio_tpu.models.programs import eeg_feature_program
+
+    B = case["eeg"].shape[0]
+    K, K_feat, Kx = case["K"], case["K_feat"], case["K_feat"] + case["K"]
+    _, _, bank = eeg_feature_program(
+        jnp.asarray(case["eeg"]), jnp.asarray(case["n_e"]),
+        jnp.asarray(case["use_idx"]), jnp.asarray(case["use_mask"]),
+        case["cfg"], case["n_win_max"], Kx, chunk=16, na_max=na_max,
+        return_bank=True)
+    bank = dict(bank)
+    # the (B,) ovf leaf flags truncation on ANY column (union ones
+    # included) — it rides the packed readback, not the bank gather
+    bank_ovf = np.asarray(bank.pop("ovf"))
+    assert bank_ovf.shape == (B,) and not bank_ovf.any()
+    flat = {k: jnp.asarray(np.asarray(v).reshape(
+        B * 5 * Kx, *np.asarray(v).shape[2:])) for k, v in bank.items()}
+    gidx = np.zeros((B, 5, K), np.int64)
+    cols = K_feat + np.arange(K)
+    for bi in range(B):
+        for bd in range(5):
+            gidx[bi, bd] = (bi * 5 + bd) * Kx + cols
+    return flat, gidx.reshape(-1).astype(np.int32)
 
 
 def _tiny_bank_case():
     """Shared tiny-shape fixture: reference comparison_program outputs plus
-    the bank leaves / gather indices feeding comparison_from_bank."""
+    the union-bank leaves / gather indices feeding comparison_from_bank.
+    The md5 sample deliberately does NOT cover every paired window (the
+    study's actual regime: "min" equalization over variable-length
+    recordings), so parity here proves the union columns serve."""
+    from tda_eeg_audio_tpu.models import classify
     from tda_eeg_audio_tpu.models.programs import (
         audio_h1_program, audio_takens_program, comparison_program,
-        eeg_feature_program, window_count_program)
+        window_count_program)
+    from tda_eeg_audio_tpu.models.study import _paired_window_idx
 
     cfg = dataclasses.replace(DEFAULT_CONFIG, window_sec=0.2, fir_numtaps=101)
     B, n_win_max, n_rs_max, K = 2, 12, 300, 5
@@ -97,43 +124,46 @@ def _tiny_bank_case():
         n_win_max, n_rs_max, K, eeg_chunk=16, aud_chunk=16)
     ref = {k: np.asarray(v) for k, v in ref.items()}
 
-    # features stage with IDENTITY window selection (all windows sampled —
-    # the study's regime under "min" equalization)
-    nw = np.array([(n - win) // step + 1 for n in n_e])
-    K_feat = int(nw.max())
-    use_idx = np.minimum(np.arange(K_feat)[None, None, :],
-                         (nw - 1)[:, None, None]).astype(np.int32)
-    use_idx = np.broadcast_to(use_idx, (B, 5, K_feat)).copy()
-    use_mask = np.broadcast_to(np.arange(K_feat)[None, None, :]
-                               < nw[:, None, None], (B, 5, K_feat)).copy()
-    _, _, bank = eeg_feature_program(
-        jnp.asarray(eeg), jnp.asarray(n_e), jnp.asarray(use_idx),
-        jnp.asarray(use_mask), cfg, n_win_max, K_feat, chunk=16,
-        return_bank=True)
-    flat = {k: np.asarray(v).reshape(B * 5 * K_feat, *np.asarray(v).shape[2:])
-            for k, v in bank.items()}
-    flat = {k: jnp.asarray(v) for k, v in flat.items()}
-
-    # gather indices from the device's own paired selection (identity
-    # feature sampling → bank position == window index)
+    # the device's paired selection must agree with the host replication
+    # the driver bakes into the union columns
     n_win_e = np.array(window_count_program(
         jnp.asarray(n_e), win, step, T))
     aud = audio_takens_program(jnp.asarray(audio), jnp.asarray(n_a), cfg,
                                n_rs_max, n_win_max, K,
                                n_win_cap=jnp.asarray(n_win_e))
     comp = np.array(aud["use_idx"])                            # (B, K)
-    # ... and it must agree with the host replication the driver uses
     for bi in range(B):
         np.testing.assert_array_equal(
-            comp[bi], _host_pair_idx(int(np.array(aud["n_win"])[bi]), K))
-    gidx = np.zeros((B, 5, K), np.int64)
+            comp[bi], _paired_window_idx(int(np.array(aud["n_win"])[bi]), K))
+
+    # features stage under "min" equalization: K_feat = min window count,
+    # md5-sampled per band, paired windows appended as union columns
+    nw = np.array([(n - win) // step + 1 for n in n_e])
+    K_feat = int(nw.min())
+    Kx = K_feat + K
+    from tda_eeg_audio_tpu.config import FREQ_BANDS
+    BANDS = list(FREQ_BANDS)
+    use_idx = np.zeros((B, 5, Kx), np.int32)
+    use_mask = np.zeros((B, 5, Kx), bool)
     for bi in range(B):
+        take = min(K_feat, int(nw[bi]))
         for bd in range(5):
-            gidx[bi, bd] = (bi * 5 + bd) * K_feat + comp[bi]
-    gidx = gidx.reshape(-1).astype(np.int32)
-    return dict(cfg=cfg, ref=ref, flat=flat, gidx=gidx, eeg=eeg, n_e=n_e,
-                audio=audio, n_a=n_a, mis_args=mis_args,
+            sel = classify.window_sample_indices(
+                f"rec{bi}", BANDS[bd], int(nw[bi]), take,
+                cfg.window_sampling, cfg.window_sample_seed)
+            use_idx[bi, bd, :len(sel)] = sel
+            use_mask[bi, bd, :len(sel)] = True
+        use_idx[bi, :, K_feat:] = comp[bi]
+    # at least one paired window must fall OUTSIDE its md5 sample, else
+    # this case would not exercise the union columns
+    assert any(set(comp[bi]) - set(use_idx[bi, bd, :K_feat].tolist())
+               for bi in range(B) for bd in range(5))
+    case = dict(cfg=cfg, ref=ref, eeg=eeg, n_e=n_e,
+                audio=audio, n_a=n_a, mis_args=mis_args, K_feat=K_feat,
+                use_idx=use_idx, use_mask=use_mask,
                 n_win_max=n_win_max, n_rs_max=n_rs_max, K=K, T=T)
+    case["flat"], case["gidx"] = _union_bank(case)
+    return case
 
 
 def _run_bank(case, put=lambda x: jnp.asarray(x)):
@@ -220,29 +250,11 @@ def test_comparison_from_bank_narrow_rows_tiny():
     must slice them through W=min(96, width) and still reproduce
     comparison_program bit for bit whenever nothing overflows (EEG creator
     counts top out far below 64 at study shapes)."""
-    from tda_eeg_audio_tpu.models.programs import eeg_feature_program
-
     case = _tiny_bank_case()
     # rebuild the bank at the narrow arena width
-    B = case["eeg"].shape[0]
-    cfg, win, step = case["cfg"], case["cfg"].win_samples, \
-        case["cfg"].step_samples
-    nw = np.array([(n - win) // step + 1 for n in case["n_e"]])
-    K_feat = int(nw.max())
-    use_idx = np.minimum(np.arange(K_feat)[None, None, :],
-                         (nw - 1)[:, None, None]).astype(np.int32)
-    use_idx = np.broadcast_to(use_idx, (B, 5, K_feat)).copy()
-    use_mask = np.broadcast_to(np.arange(K_feat)[None, None, :]
-                               < nw[:, None, None], (B, 5, K_feat)).copy()
-    _, _, bank = eeg_feature_program(
-        jnp.asarray(case["eeg"]), jnp.asarray(case["n_e"]),
-        jnp.asarray(use_idx), jnp.asarray(use_mask), cfg,
-        case["n_win_max"], K_feat, chunk=16, na_max=64, return_bank=True)
-    assert bank["h1_m"].shape[-1] == 64          # the narrow rows, really
-    flat = {k: jnp.asarray(np.asarray(v).reshape(
-        B * 5 * K_feat, *np.asarray(v).shape[2:]))
-        for k, v in bank.items()}
-    case = {**case, "flat": flat}
+    flat, gidx = _union_bank(case, na_max=64)
+    assert flat["h1_m"].shape[-1] == 64          # the narrow rows, really
+    case = {**case, "flat": flat, "gidx": gidx}
     out = _run_bank(case)
     for k in case["ref"]:
         np.testing.assert_array_equal(out[k], case["ref"][k], err_msg=k)

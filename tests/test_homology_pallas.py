@@ -175,160 +175,10 @@ def test_run_tda_device_resident_input_matches_host():
     for k in ("births", "deaths", "fin_mask", "features"):
         np.testing.assert_array_equal(np.asarray(host[k]), np.asarray(dev[k]))
 
-# ---------------- grouped-segmented kernel (n ≤ 64, EEG windows) ----------------
-
-
-def _structured_dms(B, n, seed=0):
-    """Study-like correlation-distance windows (shared oscillators)."""
-    rng = np.random.default_rng(seed)
-    t = np.arange(250)
-    drive = np.sin(2 * np.pi * 0.04 * t) + 0.5 * np.sin(2 * np.pi * 0.088 * t + 1.0)
-    x = rng.standard_normal((B, n, 250)) \
-        + 1.5 * drive[None, None, :] * rng.uniform(0.3, 1.0, (B, n, 1))
-    c = np.stack([np.corrcoef(w) for w in x])
-    dm = np.sqrt(np.maximum(2 * (1 - np.clip(c, -1, 1)), 0))
-    for d in dm:
-        np.fill_diagonal(d, 0.0)
-    return dm.astype(np.float32)
-
-
-def test_grouped_eeg47_parity_and_batch_padding():
-    """Grouped-segmented kernel == XLA lockstep bar-for-bar at n=47,
-    including a batch NOT divisible by the group (wrapper pads with empty
-    complexes and slices back)."""
-    from tda_eeg_audio_tpu.ops.homology_pallas import h1_diagrams_pallas_grouped
-
-    dms = jnp.asarray(_structured_dms(13, 47))
-    a = {k: np.array(v) for k, v in h1_diagrams(
-        dms, n=47, thresh=2.0, na_max=96, h1_max=96,
-        step_budget=8192).items()}
-    b = {k: np.array(v) for k, v in h1_diagrams_pallas_grouped(
-        dms, n=47, thresh=2.0, na_max=96, h1_max=96, step_budget=8192,
-        group=8, interpret=True).items()}
-    assert b["births"].shape == (13, 96)
-    assert not a["overflow"].any() and not b["overflow"].any()
-    for i in range(13):
-        ga, gb = _bars(a, i), _bars(b, i)
-        assert len(ga) == len(gb)
-        if len(ga):
-            np.testing.assert_allclose(np.sort(gb, 0), np.sort(ga, 0),
-                                       atol=1e-6)
-    np.testing.assert_array_equal(a["n_essential"], b["n_essential"])
-    np.testing.assert_allclose(
-        np.where(np.isfinite(a["h0_deaths"]), a["h0_deaths"], -1),
-        np.where(np.isfinite(b["h0_deaths"]), b["h0_deaths"], -1), atol=0)
-
-
-def test_grouped_padded_points_and_degenerate():
-    """n_pts masking incl. < 3-point windows through the grouped kernel."""
-    from tda_eeg_audio_tpu.ops.homology_pallas import h1_diagrams_pallas_grouped
-
-    rng = np.random.default_rng(1)
-    n, B = 47, 9
-    pts = rng.uniform(size=(B, n, 3))
-    dm = np.linalg.norm(pts[:, :, None] - pts[:, None, :], axis=-1)
-    n_pts = np.array([2, 5, 47, 30, 11, 3, 46, 20, 8], np.int32)
-    for i, k in enumerate(n_pts):
-        dm[i, k:, :] = 3.5
-        dm[i, :, k:] = 3.5
-        np.fill_diagonal(dm[i], 0.0)
-    dms = jnp.asarray(dm.astype(np.float32))
-    npj = jnp.asarray(n_pts)
-    a = {k: np.array(v) for k, v in h1_diagrams(
-        dms, npj, n=n, thresh=2.0, na_max=96, h1_max=96,
-        step_budget=8192).items()}
-    b = {k: np.array(v) for k, v in h1_diagrams_pallas_grouped(
-        dms, npj, n=n, thresh=2.0, na_max=96, h1_max=96, step_budget=8192,
-        group=8, interpret=True).items()}
-    for i in range(B):
-        ga, gb = _bars(a, i), _bars(b, i)
-        assert len(ga) == len(gb)
-        if len(ga):
-            np.testing.assert_allclose(np.sort(gb, 0), np.sort(ga, 0),
-                                       atol=1e-6)
-    np.testing.assert_array_equal(a["n_tree"], b["n_tree"])
-
-
-def test_grouped_overflow_flags():
-    """na_max exceeded and step budget exceeded must both raise overflow
-    (the callers reroute flagged windows to the exact host engine)."""
-    from tda_eeg_audio_tpu.ops.homology_pallas import h1_diagrams_pallas_grouped
-
-    rng = np.random.default_rng(0)
-    x = rng.standard_normal((8, 47, 250))   # unstructured: ~86 creators
-    c = np.stack([np.corrcoef(w) for w in x])
-    dm = np.sqrt(np.maximum(2 * (1 - np.clip(c, -1, 1)), 0))
-    for d in dm:
-        np.fill_diagonal(d, 0.0)
-    dms = jnp.asarray(dm.astype(np.float32))
-    o1 = h1_diagrams_pallas_grouped(dms, n=47, thresh=2.0, na_max=64,
-                                    h1_max=96, step_budget=8192, group=8,
-                                    interpret=True)
-    assert np.array(o1["overflow"]).all()
-    o2 = h1_diagrams_pallas_grouped(dms, n=47, thresh=2.0, na_max=96,
-                                    h1_max=96, step_budget=3, group=8,
-                                    interpret=True)
-    assert np.array(o2["overflow"]).all()
-
-
-@pytest.mark.parametrize("chains", [2, 4, 8])
-def test_multi_chain_parity(chains):
-    """chains=C (concurrent creator chains sharing the stored arena)
-    == the XLA kernel bar-for-bar, incl. heavy stored-hit matrices and
-    padded/degenerate windows."""
-    rng = np.random.default_rng(0)
-    x = rng.standard_normal((8, 47, 250))
-    c = np.stack([np.corrcoef(w) for w in x])
-    dm = np.sqrt(np.maximum(2 * (1 - np.clip(c, -1, 1)), 0))
-    for d in dm:
-        np.fill_diagonal(d, 0.0)
-    dms = jnp.asarray(dm.astype(np.float32))
-    a = {k: np.array(v) for k, v in h1_diagrams(
-        dms, n=47, thresh=2.0, na_max=128, h1_max=128,
-        step_budget=16384).items()}
-    b = {k: np.array(v) for k, v in h1_diagrams_pallas(
-        dms, n=47, thresh=2.0, na_max=128, h1_max=128, step_budget=16384,
-        interpret=True, chains=chains).items()}
-    for i in range(8):
-        ga, gb = _bars(a, i), _bars(b, i)
-        assert len(ga) == len(gb)
-        np.testing.assert_allclose(np.sort(gb, 0), np.sort(ga, 0), atol=1e-6)
-    np.testing.assert_array_equal(a["n_essential"], b["n_essential"])
-
-    # padded + degenerate windows at the audio shape
-    rng = np.random.default_rng(3)
-    n = 124
-    n_pts = np.array([124, 90, 7, 2], np.int32)
-    dml = []
-    for k in n_pts:
-        sig = rng.standard_normal(n + 24).cumsum()
-        pts = np.stack([sig[j * 4:j * 4 + n] for j in range(3)], -1)
-        lo, hi = pts.min(0), pts.max(0)
-        pts = (pts - lo) / np.where(hi - lo > 0, hi - lo, 1.0)
-        d = np.linalg.norm(pts[:, None] - pts[None, :], axis=-1)
-        d[k:, :] = 3.5
-        d[:, k:] = 3.5
-        np.fill_diagonal(d, 0.0)
-        dml.append(d)
-    dms = jnp.asarray(np.stack(dml).astype(np.float32))
-    npj = jnp.asarray(n_pts)
-    a = {k: np.array(v) for k, v in h1_diagrams(
-        dms, npj, n=n, thresh=2.0, na_max=96, h1_max=96,
-        step_budget=8192).items()}
-    b = {k: np.array(v) for k, v in h1_diagrams_pallas(
-        dms, npj, n=n, thresh=2.0, na_max=96, h1_max=96, step_budget=8192,
-        interpret=True, chains=chains).items()}
-    for i in range(4):
-        ga, gb = _bars(a, i), _bars(b, i)
-        assert len(ga) == len(gb)
-        if len(ga):
-            np.testing.assert_allclose(np.sort(gb, 0), np.sort(ga, 0),
-                                       atol=1e-6)
-    np.testing.assert_array_equal(a["n_tree"], b["n_tree"])
 
 
 def test_mosaic_lowering_device_free():
-    """Both production Mosaic kernels LOWER for TPU on a CPU-only host
+    """The production Mosaic kernel LOWERS for TPU on a CPU-only host
     (jax.export runs the Pallas→Mosaic lowering without a device) — this
     catches unsupported-primitive regressions (e.g. `rev`) without TPU
     hardware in the loop."""
@@ -337,20 +187,10 @@ def test_mosaic_lowering_device_free():
     import jax
     from jax import export
 
-    from tda_eeg_audio_tpu.ops.homology_pallas import (
-        h1_diagrams_pallas, h1_diagrams_pallas_grouped)
+    from tda_eeg_audio_tpu.ops.homology_pallas import h1_diagrams_pallas
 
-    # every grouped config the A/B battery tries (scratch/bench_grouped.py)
-    # must LOWER — a Mosaic lowering error found here costs seconds, not a
-    # wasted battery step on scarce hardware
-    for group, na in ((4, 96), (8, 96), (8, 64), (12, 64)):
-        f_g = partial(h1_diagrams_pallas_grouped, n=47, thresh=2.0,
-                      na_max=na, h1_max=96, step_budget=8192, group=group)
-        export.export(jax.jit(f_g), platforms=["tpu"])(
-            jax.ShapeDtypeStruct((2 * group, 47, 47), jnp.float32))
-    for chains in (1, 2, 4, 8):
-        f_d = partial(h1_diagrams_pallas, n=124, thresh=2.0, na_max=96,
-                      h1_max=96, step_budget=8192, chains=chains)
-        export.export(jax.jit(f_d), platforms=["tpu"])(
-            jax.ShapeDtypeStruct((4, 124, 124), jnp.float32),
-            jax.ShapeDtypeStruct((4,), jnp.int32))
+    f_d = partial(h1_diagrams_pallas, n=124, thresh=2.0, na_max=96,
+                  h1_max=96, step_budget=8192)
+    export.export(jax.jit(f_d), platforms=["tpu"])(
+        jax.ShapeDtypeStruct((4, 124, 124), jnp.float32),
+        jax.ShapeDtypeStruct((4,), jnp.int32))

@@ -14,18 +14,18 @@ SCRATCH = Path(__file__).resolve().parents[1] / "scratch"
 def test_defaults_when_absent(monkeypatch, tmp_path):
     monkeypatch.setattr(tuning, "_PATH", tmp_path / "tuning.json")
     d = tuning._load()
-    assert d["eeg_small_kernel"] == "bitset" and d["audio_chains"] == 1
+    assert d["eeg_bank"] is False and d["eeg_batch"] == 16
 
 
 def test_file_merges_over_defaults(monkeypatch, tmp_path):
     p = tmp_path / "tuning.json"
-    p.write_text(json.dumps(dict(eeg_small_kernel="grouped",
-                                 audio_chains=4)))
+    # unknown keys (e.g. the deleted round-4 kernel knobs) are ignored
+    p.write_text(json.dumps(dict(pallas_min_n=80, audio_chains=4)))
     monkeypatch.setattr(tuning, "_PATH", p)
     d = tuning._load()
-    assert d["eeg_small_kernel"] == "grouped"
-    assert d["audio_chains"] == 4
-    assert d["grouped_size"] == 8          # unspecified keys keep defaults
+    assert d["pallas_min_n"] == 80
+    assert "audio_chains" not in d
+    assert d["eeg_batch"] == 16            # unspecified keys keep defaults
 
 
 def test_corrupt_file_falls_back(monkeypatch, tmp_path):
@@ -44,8 +44,8 @@ def test_non_object_json_falls_back(monkeypatch, tmp_path):
 
 def test_bad_value_degrades_whole_file(monkeypatch, tmp_path):
     p = tmp_path / "tuning.json"
-    p.write_text(json.dumps(dict(eeg_small_kernel="grouped",
-                                 grouped_size="not-a-number")))
+    p.write_text(json.dumps(dict(eeg_bank=True,
+                                 pallas_min_n="not-a-number")))
     monkeypatch.setattr(tuning, "_PATH", p)
     # a partial/corrupt battery write must not ship half a configuration
     assert tuning._load() == tuning._DEFAULTS
@@ -57,19 +57,16 @@ def test_env_overrides_file(monkeypatch, tmp_path):
     via these env vars; a typo'd name would silently bench the default
     kernels)."""
     p = tmp_path / "tuning.json"
-    p.write_text(json.dumps(dict(eeg_small_kernel="grouped",
-                                 audio_chains=2, grouped_size=12,
-                                 grouped_na_max=96)))
+    p.write_text(json.dumps(dict(pallas_min_n=80, eeg_batch=32,
+                                 feature_na_max=96)))
     monkeypatch.setenv("TDA_TPU_TUNING_FILE", str(p))
-    monkeypatch.setenv("TDA_TPU_EEG_KERNEL", "bitset")
-    monkeypatch.setenv("TDA_TPU_AUDIO_CHAINS", "1")
-    monkeypatch.setenv("TDA_TPU_GROUPED_SIZE", "16")
+    monkeypatch.setenv("TDA_TPU_PALLAS_MIN_N", "100")
+    monkeypatch.setenv("TDA_TPU_EEG_BATCH", "8")
     try:
         importlib.reload(tuning)
-        assert tuning.EEG_SMALL_KERNEL == "bitset"      # env beats file
-        assert tuning.AUDIO_CHAINS == 1                 # env beats file
-        assert tuning.GROUPED_SIZE == 16                # env beats file
-        assert tuning.GROUPED_NA_MAX == 96              # file beats default
+        assert tuning.PALLAS_MIN_N == 100               # env beats file
+        assert tuning.EEG_BATCH == 8                    # env beats file
+        assert tuning.FEATURE_NA_MAX == 96              # file beats default
     finally:
         monkeypatch.undo()
         importlib.reload(tuning)                        # restore module state
@@ -82,101 +79,6 @@ def _wt():
         return importlib.reload(write_tuning)
     finally:
         sys.path.pop(0)
-
-
-def test_promotion_gates(monkeypatch, tmp_path):
-    """grouped configs with excess overflow or on-device diagram mismatch,
-    and multi-chain configs with a bar-count/per-window mismatch, must NOT
-    be promoted; winners must."""
-    wt = _wt()
-    g = tmp_path / "grouped.out"
-    g.write_text(
-        "1024 study-shaped windows\n"
-        "xla lockstep  chunk= 256           0.1900 ms/win  bars=5000 "
-        "chk=1.0 ovf=0\n"
-        "grouped       g= 8 na_max= 64    0.1400 ms/win  bars=5000 "
-        "chk=1.0 ovf=3 mism=0\n"
-        "grouped       g=16 na_max= 64    0.1200 ms/win  bars=5000 "
-        "chk=1.0 ovf=900 mism=0\n"
-        "grouped       g=12 na_max= 64    0.1000 ms/win  bars=5000 "
-        "chk=1.0 ovf=0 mism=4\n")
-    d = tmp_path / "dual.out"
-    d.write_text(
-        "chains=1   0.4100 ms/win  steps=100 ovf=0 bars=7000 mism=0\n"
-        "chains=2   0.2500 ms/win  steps=60 ovf=0 bars=7000 mism=0\n"
-        "chains=4   0.2000 ms/win  steps=40 ovf=0 bars=6999 mism=12\n")
-    monkeypatch.setattr(wt, "GROUPED_OUT", g)
-    monkeypatch.setattr(wt, "DUAL_OUT", d)
-    gc = wt.grouped_candidate()
-    # not the 900-ovf g=16 and not the FASTEST-but-mismatching g=12
-    assert gc["group"] == 8 and gc["na_max"] == 64
-    cc = wt.chains_candidate()
-    assert cc["chains"] == 2                         # not the mismatching 4
-
-    # slower candidates are not promoted at all
-    d.write_text("chains=1   0.2000 ms/win  steps=10 ovf=0 bars=7000 mism=0\n"
-                 "chains=2   0.2500 ms/win  steps=6 ovf=0 bars=7000 mism=0\n")
-    assert wt.chains_candidate() is None
-
-    # pre-parity legacy output (no mism field) must never promote
-    g.write_text(
-        "1024 study-shaped windows\n"
-        "xla lockstep  chunk= 256           0.1900 ms/win  bars=5000 "
-        "chk=1.0 ovf=0\n"
-        "grouped       g= 8 na_max= 64    0.1400 ms/win  bars=5000 "
-        "chk=1.0 ovf=0\n")
-    assert wt.grouped_candidate() is None
-
-
-def test_apply_requires_end_to_end_win(monkeypatch, tmp_path, capsys):
-    """tuning.json is written only when the flipped full-study bench beats
-    the default; a regression leaves the file untouched."""
-    wt = _wt()
-    g = tmp_path / "grouped.out"
-    g.write_text("1024 study-shaped windows\n"
-                 "xla lockstep  chunk= 256           0.1900 ms/win  "
-                 "bars=5000 chk=1.0 ovf=0\n"
-                 "grouped       g= 8 na_max= 64    0.1400 ms/win  "
-                 "bars=5000 chk=1.0 ovf=0 mism=0\n")
-    bd = tmp_path / "bd.out"
-    bf = tmp_path / "bf.out"
-    tj = tmp_path / "tuning.json"
-    monkeypatch.setattr(wt, "GROUPED_OUT", g)
-    monkeypatch.setattr(wt, "DUAL_OUT", tmp_path / "missing.out")
-    monkeypatch.setattr(wt, "BENCH_DEFAULT", bd)
-    monkeypatch.setattr(wt, "BENCH_FLIPPED", bf)
-    monkeypatch.setattr(wt, "TUNING", tj)
-    monkeypatch.setattr(sys, "argv", ["write_tuning.py", "--apply"])
-
-    bd.write_text('{"metric": "full_study_seconds", "value": 100.0}\n')
-    bf.write_text('{"metric": "full_study_seconds", "value": 110.0}\n')
-    wt.main()
-    assert not tj.exists()                           # regression → untouched
-
-    # a FAST flipped run whose sanity checks failed must not promote
-    bf.write_text('{"metric": "full_study_seconds", "value": 90.0, '
-                  '"ok": false}\n')
-    wt.main()
-    assert not tj.exists()
-
-    bf.write_text('{"metric": "full_study_seconds", "value": 90.0, '
-                  '"ok": true}\n')
-    wt.main()
-    data = json.loads(tj.read_text())
-    assert data["eeg_small_kernel"] == "grouped"
-    assert data["audio_chains"] == 1                 # no chains candidate
-    assert data["measured"]["full_study_flipped_s"] == 90.0
-
-    # the winning grouped SHAPE must ride into the flipped bench's env
-    monkeypatch.setattr(sys, "argv", ["write_tuning.py", "--candidates"])
-    import io
-    from contextlib import redirect_stdout
-    buf = io.StringIO()
-    with redirect_stdout(buf):
-        wt.main()
-    assert buf.getvalue().split() == [
-        "TDA_TPU_EEG_KERNEL=grouped", "TDA_TPU_GROUPED_SIZE=8",
-        "TDA_TPU_GROUPED_NA_MAX=64"]
 
 
 def test_apply_bank_gate_and_merge(monkeypatch, tmp_path):
@@ -339,6 +241,15 @@ def test_apply_crossover(monkeypatch, tmp_path):
         "n= 124  bitset   0.2 ms/win   pallas   0.3 ms/win   "
         "winner=bitset   bars-match=True\n")
     assert wt.crossover_candidate() == 125
+
+    # a degenerate timing row (< 0.01 ms/win — the r4 sweep's n=48 read
+    # 0.000/0.000) voids the whole sweep: no promotion from artifacts
+    co.write_text(
+        "n=  48  bitset   0.000 ms/win   pallas   0.000 ms/win   "
+        "winner=bitset   bars-match=True\n"
+        "n= 124  bitset   5.7 ms/win   pallas   0.4 ms/win   "
+        "winner=pallas   bars-match=True\n")
+    assert wt.crossover_candidate() is None
 
     # --apply-crossover end to end: merge + loader round trip
     co.write_text(
