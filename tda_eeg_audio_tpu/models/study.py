@@ -1211,6 +1211,11 @@ class StudyRunner:
             ef = d["eeg"]["features"].reshape(B, NB, K, 2, 11)[:, :, :, 1, :]
             af = d["audio"]["features"].reshape(B, NB, K, 2, 11)[:, :, :, 1, :]
             km = d["kmask"][:, None, :].repeat(NB, 1) & ~d["degen"]
+            # batched Spearman: one device dispatch for every qualifying
+            # (recording, band, feature) of the batch — the old per-feature
+            # 1-row calls each paid a ~0.1-0.3 s tunnel round trip, which
+            # dominated the fused path's overflow-redo wall clock
+            sp_a, sp_e, sp_m, sp_tgt = [], [], [], []
             for bi_, meta in enumerate(d["metas"]):
                 if meta.get("failed"):
                     continue
@@ -1230,17 +1235,29 @@ class StudyRunner:
                         a_ts = af[bi_, bd, :, fi]
                         e_ts = ef[bi_, bd, :, fi]
                         msk = km[bi_, bd]
+                        row[f"corr_{fname}_r"] = 0.0
+                        row[f"corr_{fname}_p"] = 1.0
                         if (n_valid >= 5 and a_ts[msk].std() > 1e-10
                                 and e_ts[msk].std() > 1e-10):
-                            r, p = dstats.spearmanr(
-                                jnp.asarray(a_ts[None]), jnp.asarray(e_ts[None]),
-                                jnp.asarray(msk[None]))
-                            row[f"corr_{fname}_r"] = float(np.array(r)[0])
-                            row[f"corr_{fname}_p"] = float(np.array(p)[0])
-                        else:
-                            row[f"corr_{fname}_r"] = 0.0
-                            row[f"corr_{fname}_p"] = 1.0
+                            sp_tgt.append((row, fname))
+                            sp_a.append(a_ts)
+                            sp_e.append(e_ts)
+                            sp_m.append(msk)
                     rows.append(row)
+            if sp_tgt:
+                # pad the row count to a power-of-two bucket: one compiled
+                # shape per bucket instead of one per distinct count
+                R = len(sp_tgt)
+                Rp = 1 << max(R - 1, 1).bit_length()
+                pad = [sp_a[0]] * (Rp - R)
+                r_all, p_all = dstats.spearmanr(
+                    jnp.asarray(np.stack(sp_a + pad)),
+                    jnp.asarray(np.stack(sp_e + [sp_e[0]] * (Rp - R))),
+                    jnp.asarray(np.stack(sp_m + [sp_m[0]] * (Rp - R))))
+                r_all, p_all = np.asarray(r_all), np.asarray(p_all)
+                for ti, (row, fname) in enumerate(sp_tgt):
+                    row[f"corr_{fname}_r"] = float(r_all[ti])
+                    row[f"corr_{fname}_p"] = float(p_all[ti])
             if self.verbose:
                 print(f"  comparison: {b0 + len(idxs)}/{len(all_idx)} "
                       f"({time.time() - t0:.0f}s)")
