@@ -413,8 +413,13 @@ def h1_diagrams_pallas(dm: jnp.ndarray, n_pts: jnp.ndarray | None = None, *,
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((B, 8, LANES), jnp.int32),
         compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=int((na_max + 4) * srows * LANES * 4
-                                 + 4 * r_tot * LANES * 4)),
+            # col is (chains, srows, LANES) and the body's live temporaries
+            # scale with chains; the +4MB headroom covers Mosaic's scoped
+            # stack (measured 247KB short at chains=2 without it — the
+            # "HTTP 500" scoped-vmem OOM)
+            vmem_limit_bytes=int((na_max + 4 * max(chains, 1) + 4)
+                                 * srows * LANES * 4
+                                 + 4 * r_tot * LANES * 4) + (4 << 20)),
         interpret=interpret,
     )(mcx, packed)
 
@@ -606,7 +611,11 @@ def _reduce_kernel_multi(mcx_ref, packed_ref, out_ref, col, stored,
         col[:] = jnp.where(claimed[:, :, None], c ^ operand,
                            jnp.where(still[:, :, None], cob, c))
         cur_new = jnp.where(allowed, nxt_full, cur_v)
-        act_new = jnp.where(allowed, still, act_b).astype(jnp.int32)
+        # int32 select operands: an i1-operand select here hits a Mosaic
+        # backend bug ("arith.trunci vector<CxNxi8> -> vector<CxNxi1>
+        # Unsupported target bitwidth") — identical semantics, act_v is
+        # already the 0/1 int32 carry
+        act_new = jnp.where(allowed, still.astype(jnp.int32), act_v)
         nk_new = next_k + jnp.sum(still.astype(jnp.int32))
         return cur_new, act_new, nk_new, steps + 1
 
@@ -792,7 +801,9 @@ def _reduce_kernel_grouped(packed_ref, out_ref, col, stored,
 
         col[:] = jnp.where(claimed[:, :, None], c ^ operand,
                            jnp.where(still[:, :, None], cob, c))
-        new_act = jnp.where(finish, still, act_b).astype(jnp.int32)
+        # int32 select operands (same Mosaic i1-trunc bug as the multi-chain
+        # kernel's act_new; act_v is already the 0/1 int32 carry)
+        new_act = jnp.where(finish, still.astype(jnp.int32), act_v)
         return nxt_cur, new_act, steps + 1
 
     cur_f, act_f, steps = jax.lax.while_loop(
@@ -857,8 +868,11 @@ def h1_diagrams_pallas_grouped(dm: jnp.ndarray, n_pts: jnp.ndarray | None = None
         ],
         out_shape=jax.ShapeDtypeStruct((B, 8, LANES), jnp.int32),
         compiler_params=pltpu.CompilerParams(
+            # +4MB headroom for Mosaic's scoped stack (see the multi-chain
+            # kernel's note; the same shortfall surfaced as "HTTP 500")
             vmem_limit_bytes=int(group * (na_max + 4) * srows * LANES * 4
-                                 + 4 * group * r_tot * LANES * 4)),
+                                 + 4 * group * r_tot * LANES * 4)
+            + (4 << 20)),
         interpret=interpret,
     )(packed)
 
