@@ -50,14 +50,20 @@ Negative results, for the record:
   * two round-4 variants — a grouped-SEGMENTED small-n kernel (G windows
     per step sharing one segmented pivot reduce) and a multi-chain
     large-n kernel (C creator chains of one window advancing per step,
-    two-finisher gate) — were parity-correct under interpret mode but
-    never compiled on this deployment: the backend's remote compile
-    helper crashes (HTTP 500, tpu_compile_helper exit 1) on both,
-    deterministically across retries and backend restarts (r4 battery
-    steps 5-6, 7/7; re-confirmed r5 with backoff).  Deleted in r5 per
-    the two-strike rule rather than kept as unmeasurable dead weight —
-    see git history (round-4 tree) for the kernels and their
-    correctness notes.
+    two-finisher gate) — were first thought compiler-blocked (remote
+    compile HTTP 500, 9/9 across r4-r5), but a Mosaic bisect
+    (scratch/mosaic_bisect.py) found the real causes: a Mosaic i1-trunc
+    crash on bool-operand selects in the while_loop carry, and a ~247 KB
+    scoped-vmem shortfall.  With both fixed (int32-operand selects +
+    4 MB vmem headroom, scratch/hp_r4_kernels.py) they compile and are
+    bar-for-bar correct on real TPU — and both LOSE on merit
+    (r5 log steps 15-17): multi-chain 1.46/2.24 ms/win (C=2/4) vs 0.83
+    per-window at the audio shape (the per-step claim/select work
+    outweighs the chain overlap), grouped-segmented 0.162 vs the
+    lockstep's 0.164 ms/win dispatch-free at n=47 (dead heat; the
+    earlier 3.5x "win" was host-dispatch overhead, ~100 ms/dispatch on
+    this tunnel).  Kept out of production; the fixed kernels and the
+    A/B harnesses live in scratch/ for the record.
   * a windowed variant (every per-step tile op restricted to the dynamic
     word-row window [pivot_row, ceil(m_cx/32)) — pivots are strictly
     increasing along a chain, keys bounded by m_cx — with bs=8-row blocks,
