@@ -147,9 +147,16 @@ def main(argv=None) -> int:
         from .utils import logging as tlog
         tlog.configure(args.log)
 
-    runner = _build_runner(args)
     out_dir = Path(args.results)
     out_dir.mkdir(parents=True, exist_ok=True)
+    if args.command == "features" and args.merge_partials:
+        # pure file work (reference MERGE_PARTIALS,
+        # tda_eeg_classification_v2.py:608-668) — never build a runner or
+        # touch a device for it: the merge typically runs on a login node
+        # after the per-process feature jobs
+        _merge_partials(out_dir)
+        return 0
+    runner = _build_runner(args)
 
     from .utils.logging import LOGGER
     from .utils.profiling import device_trace, GLOBAL_TIMES
@@ -184,10 +191,6 @@ def _dispatch(args, runner, out_dir: Path) -> int:
         print(f"eda: {out['n_recordings']} recordings, "
               f"{out['n_subjects']} subjects → eda_summary.json")
         return 0
-    if args.command == "features" and args.merge_partials:
-        _merge_partials(out_dir)
-        return 0
-
     if args.command in ("features", "study"):
         bs = args.batch_start if args.batch_start >= 0 else None
         be = args.batch_end if args.batch_end >= 0 else None
